@@ -1,0 +1,153 @@
+"""Geohash cell-index kernels, vectorized.
+
+Semantics: Spatial4n.Core/Util/GeohashUtils.cs — base32 interleaved
+bisection encode (:78-144), boundary decode (:163-204), sub-cells
+(:207-216), precision pick (:226-267). The geohash is this engine's
+cell id (H3/S2-style role): it keys the distributed spatial joins and
+tile-cover assignment, and parent rollup is prefix truncation.
+
+Encoding is vectorized: `precision` rounds of exact interval-bisection
+NumPy ops over the whole batch (the interval endpoints are dyadic
+multiples of 360/2^k, exactly representable, so this reproduces the
+reference's iterative encode bit-for-bit).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_BASE32_ARR = np.frombuffer(BASE32.encode("ascii"), dtype=np.uint8)
+_BASE32_INDEX = np.full(128, -500, dtype=np.int32)
+for _i, _c in enumerate(BASE32):
+    _BASE32_INDEX[ord(_c)] = _i
+
+MAX_PRECISION = 24
+
+
+def _load_cell_sizes():
+    """Cell height/width tables. GeohashUtils.cs:240-267."""
+    lat = np.empty(MAX_PRECISION + 1)
+    lon = np.empty(MAX_PRECISION + 1)
+    lat[0] = 180.0
+    lon[0] = 360.0
+    even = False
+    for i in range(1, MAX_PRECISION + 1):
+        lat[i] = lat[i - 1] / (8.0 if even else 4.0)
+        lon[i] = lon[i - 1] / (4.0 if even else 8.0)
+        even = not even
+    return lat, lon
+
+
+HASH_LEN_TO_LAT_HEIGHT, HASH_LEN_TO_LON_WIDTH = _load_cell_sizes()
+
+
+def encode(lat, lon, precision: int = 12) -> np.ndarray:
+    """Encode lat/lon arrays to geohash strings of `precision` chars.
+
+    Bit k (lon on even global-bit positions, lat on odd) is 1 iff the
+    coordinate is strictly greater than the running interval midpoint —
+    GeohashUtils.EncodeLatLon (GeohashUtils.cs:90-144).
+    """
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat, lon = np.broadcast_arrays(lat, lon)
+    n = lat.shape[0]
+    nbits = precision * 5
+    # per-coordinate interval state
+    lat_lo = np.full(n, -90.0)
+    lat_hi = np.full(n, 90.0)
+    lon_lo = np.full(n, -180.0)
+    lon_hi = np.full(n, 180.0)
+    chars = np.empty((precision, n), dtype=np.uint8)
+    ch = np.zeros(n, dtype=np.int32)
+    bit_weights = (16, 8, 4, 2, 1)
+    is_even = True
+    bit = 0
+    ci = 0
+    for _ in range(nbits):
+        if is_even:
+            mid = (lon_lo + lon_hi) * 0.5
+            hi_mask = lon > mid
+            ch |= np.where(hi_mask, bit_weights[bit], 0)
+            lon_lo = np.where(hi_mask, mid, lon_lo)
+            lon_hi = np.where(hi_mask, lon_hi, mid)
+        else:
+            mid = (lat_lo + lat_hi) * 0.5
+            hi_mask = lat > mid
+            ch |= np.where(hi_mask, bit_weights[bit], 0)
+            lat_lo = np.where(hi_mask, mid, lat_lo)
+            lat_hi = np.where(hi_mask, lat_hi, mid)
+        is_even = not is_even
+        if bit < 4:
+            bit += 1
+        else:
+            chars[ci] = _BASE32_ARR[ch]
+            ci += 1
+            bit = 0
+            ch[:] = 0
+    # (precision, n) uint8 -> n strings
+    return chars.T.copy().view(f"S{precision}").reshape(n).astype(str)
+
+
+def decode_boundary(geohashes) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Geohash strings -> (minx, maxx, miny, maxy). GeohashUtils.cs:163-204.
+
+    Vectorized per character position; supports mixed lengths (shorter
+    hashes stop refining early).
+    """
+    gh = np.atleast_1d(np.asarray(geohashes, dtype=str))
+    n = gh.shape[0]
+    maxlen = max((len(s) for s in gh), default=0)
+    miny = np.full(n, -90.0)
+    maxy = np.full(n, 90.0)
+    minx = np.full(n, -180.0)
+    maxx = np.full(n, 180.0)
+    if maxlen == 0:
+        return minx, maxx, miny, maxy
+    # pad to fixed width and view as a (n, maxlen) codepoint matrix
+    # (padding char is masked out by the per-row length check below)
+    padded = np.array([s.lower().ljust(maxlen, "0") for s in gh], dtype=f"U{maxlen}")
+    mat = padded.view(np.uint32).reshape(n, -1)[:, :maxlen]
+    lengths = np.array([len(s) for s in gh])
+    is_even = True
+    for pos in range(maxlen):
+        codes = mat[:, pos]
+        active = lengths > pos
+        cd = np.where(active, _BASE32_INDEX[np.clip(codes, 0, 127)], 0)
+        for mask in (16, 8, 4, 2, 1):
+            hit = (cd & mask) != 0
+            if is_even:
+                mid = (minx + maxx) * 0.5
+                minx = np.where(active & hit, mid, minx)
+                maxx = np.where(active & ~hit, mid, maxx)
+            else:
+                mid = (miny + maxy) * 0.5
+                miny = np.where(active & hit, mid, miny)
+                maxy = np.where(active & ~hit, mid, maxy)
+            is_even = not is_even
+    return minx, maxx, miny, maxy
+
+
+def decode_point(geohashes) -> tuple[np.ndarray, np.ndarray]:
+    """Center point (lon, lat) of each cell. GeohashUtils.cs:152-158."""
+    minx, maxx, miny, maxy = decode_boundary(geohashes)
+    return (minx + maxx) / 2.0, (miny + maxy) / 2.0
+
+
+def sub_cells(base: str) -> list[str]:
+    """The 32 child cells, sorted. GeohashUtils.cs:207-216."""
+    return [base + c for c in BASE32]
+
+
+def lookup_hash_len_for_width_height(lon_err: float, lat_err: float) -> int:
+    """Shortest precision whose cell is strictly smaller than the given
+    width/height. GeohashUtils.cs:226-237."""
+    for ln in range(1, MAX_PRECISION):
+        if HASH_LEN_TO_LAT_HEIGHT[ln] < lat_err and HASH_LEN_TO_LON_WIDTH[ln] < lon_err:
+            return ln
+    return MAX_PRECISION
+
+
+def lookup_degrees_size_for_hash_len(hash_len: int) -> tuple[float, float]:
+    """(lat_height, lon_width) of cells at a precision. GeohashUtils.cs:218-221."""
+    return HASH_LEN_TO_LAT_HEIGHT[hash_len], HASH_LEN_TO_LON_WIDTH[hash_len]

@@ -1,0 +1,226 @@
+"""Point-in-polygon and polygon relate kernels, vectorized.
+
+From-scratch (no JTS/NTS dependency): crossing-number PIP with explicit
+boundary detection so boundaries count as interior — matching the
+reference's COVERS/COVERED-BY semantics (SpatialRelation.cs:29-32) and
+the NtsGeometry relate outcomes (NtsGeometry.cs:283-314): point fast
+path disjoint?contains (:286-291), bbox gate (:239-246).
+
+Polygons are vertex arrays (xs, ys) with ring_offsets delimiting the
+outer ring and holes; multipolygons concatenate rings with a parallel
+ring->part map. Dateline-crossing polygons are handled upstream by
+page-splitting at ingest (NtsGeometry.cs:379-527 analog in wkt.py).
+
+Vectorization: many points vs ONE polygon per call (the distributed
+join groups candidate pairs by polygon id, so each kernel call is a
+(polygon, point-batch) pair); the edge loop is over the polygon's own
+edges with all points processed per edge via NumPy.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .relation import CONTAINS, DISJOINT, INTERSECTS, WITHIN
+
+
+def points_in_ring(px, py, xs, ys) -> np.ndarray:
+    """Crossing-number test of points against one closed ring.
+
+    Boundary points (vertex or on-edge) count as inside. Ring need not
+    repeat the first vertex. Returns bool array.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    n = len(xs)
+    inside = np.zeros(px.shape, dtype=bool)
+    boundary = np.zeros(px.shape, dtype=bool)
+    x1, y1 = xs, ys
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    for i in range(n):
+        ax, ay, bx, by = x1[i], y1[i], x2[i], y2[i]
+        # boundary: collinear and within segment bbox
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        on_seg = ((cross == 0.0)
+                  & (px >= min(ax, bx)) & (px <= max(ax, bx))
+                  & (py >= min(ay, by)) & (py <= max(ay, by)))
+        boundary |= on_seg
+        # ray cast to +x: half-open in y to avoid double-count at vertices
+        cond = (ay > py) != (by > py)
+        if ay != by:
+            x_at = ax + (py - ay) * (bx - ax) / (by - ay)
+            inside ^= cond & (px < x_at)
+    return inside | boundary
+
+
+def _ring_parity_and_boundary(px, py, xs, ys):
+    """(crossing parity, on-boundary) of points vs one ring."""
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    inside = np.zeros(px.shape, dtype=bool)
+    boundary = np.zeros(px.shape, dtype=bool)
+    n = len(xs)
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    for i in range(n):
+        ax, ay, bx, by = xs[i], ys[i], x2[i], y2[i]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        boundary |= ((cross == 0.0)
+                     & (px >= min(ax, bx)) & (px <= max(ax, bx))
+                     & (py >= min(ay, by)) & (py <= max(ay, by)))
+        cond = (ay > py) != (by > py)
+        if ay != by:
+            x_at = ax + (py - ay) * (bx - ax) / (by - ay)
+            inside ^= cond & (px < x_at)
+    return inside, boundary
+
+
+def points_in_polygon(px, py, xs, ys, ring_offsets=None) -> np.ndarray:
+    """PIP via the global even-odd rule over all rings.
+
+    ring_offsets delimit rings in xs/ys ([0, n0, n0+n1, ...]). Works
+    uniformly for a polygon with holes (parity 2 inside a hole -> out)
+    AND a multipolygon's disjoint shells (parity 1 in either -> in),
+    assuming shells don't mutually overlap (the reference's default,
+    NtsSpatialContextFactory allowMultiOverlap=false :63-81). Any ring
+    boundary counts as inside (COVERS semantics).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if ring_offsets is None or len(ring_offsets) < 2:
+        inside, boundary = _ring_parity_and_boundary(px, py, xs, ys)
+        return inside | boundary
+    inside = np.zeros(px.shape, dtype=bool)
+    boundary = np.zeros(px.shape, dtype=bool)
+    for k in range(len(ring_offsets) - 1):
+        s, e = ring_offsets[k], ring_offsets[k + 1]
+        pin, pb = _ring_parity_and_boundary(px, py, xs[s:e], ys[s:e])
+        inside ^= pin
+        boundary |= pb
+    return inside | boundary
+
+
+def _on_ring_boundary(px, py, xs, ys) -> np.ndarray:
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    out = np.zeros(np.asarray(px).shape, dtype=bool)
+    for i in range(len(xs)):
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[(i + 1) % len(xs)], ys[(i + 1) % len(xs)]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        out |= ((cross == 0.0)
+                & (px >= min(ax, bx)) & (px <= max(ax, bx))
+                & (py >= min(ay, by)) & (py <= max(ay, by)))
+    return out
+
+
+def _segments_intersect_batch(ax, ay, bx, by, cx, cy, dx, dy):
+    """Vectorized proper/improper segment intersection (touch counts)."""
+    d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+    d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+    d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & \
+             (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    # collinear / endpoint-touch cases
+    def on(px_, py_, sx1, sy1, sx2, sy2, d):
+        return (d == 0) & (px_ >= np.minimum(sx1, sx2)) & (px_ <= np.maximum(sx1, sx2)) \
+             & (py_ >= np.minimum(sy1, sy2)) & (py_ <= np.maximum(sy1, sy2))
+    touch = (on(cx, cy, ax, ay, bx, by, d1) | on(dx, dy, ax, ay, bx, by, d2)
+             | on(ax, ay, cx, cy, dx, dy, d3) | on(bx, by, cx, cy, dx, dy, d4))
+    return proper | touch
+
+
+def polygon_edges_cross_rect(xs, ys, minx, maxx, miny, maxy) -> bool:
+    """True if any polygon edge intersects the rect's boundary."""
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = np.asarray(xs)[:-1], np.asarray(ys)[:-1]
+    ax = np.asarray(xs, dtype=np.float64)
+    ay = np.asarray(ys, dtype=np.float64)
+    bx = np.roll(ax, -1)
+    by = np.roll(ay, -1)
+    rect_edges = [
+        (minx, miny, maxx, miny), (maxx, miny, maxx, maxy),
+        (maxx, maxy, minx, maxy), (minx, maxy, minx, miny),
+    ]
+    for (cx, cy, dx, dy) in rect_edges:
+        if _segments_intersect_batch(ax, ay, bx, by,
+                                     np.float64(cx), np.float64(cy),
+                                     np.float64(dx), np.float64(dy)).any():
+            return True
+    return False
+
+
+def relate_polygon_points(px, py, xs, ys, ring_offsets=None) -> np.ndarray:
+    """Polygon.Relate(point) -> CONTAINS or DISJOINT per point.
+
+    NtsGeometry point fast path (NtsGeometry.cs:286-291): disjoint unless
+    covered (boundary counts).
+    """
+    inside = points_in_polygon(px, py, xs, ys, ring_offsets)
+    return np.where(inside, CONTAINS, DISJOINT).astype(np.int8)
+
+
+def _any_edge_proper_cross(xs, ys, minx, maxx, miny, maxy) -> bool:
+    """Any polygon edge properly crossing the rect boundary (not mere touch)."""
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = np.asarray(xs)[:-1], np.asarray(ys)[:-1]
+    ax = np.asarray(xs, dtype=np.float64)
+    ay = np.asarray(ys, dtype=np.float64)
+    bx = np.roll(ax, -1)
+    by = np.roll(ay, -1)
+    for (cx, cy, dx, dy) in [(minx, miny, maxx, miny), (maxx, miny, maxx, maxy),
+                             (maxx, maxy, minx, maxy), (minx, maxy, minx, miny)]:
+        d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+        d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+        d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+        if (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+                & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)).any():
+            return True
+    return False
+
+
+def relate_polygon_rect(xs, ys, ring_offsets, minx, maxx, miny, maxy) -> int:
+    """Polygon.Relate(rect) -> code, COVERS semantics.
+
+    Exact for a convex target (a rect IS convex): mirrors the DE-9IM ->
+    SpatialRelation mapping of NtsGeometry.cs:303-314 via from-scratch
+    primitives — corner PIP, vertex-in-rect, proper edge crossing.
+    Non-dateline-crossing rect assumed (upstream splits pages).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) == 0:
+        return DISJOINT
+    pminx, pmaxx = xs.min(), xs.max()
+    pminy, pmaxy = ys.min(), ys.max()
+    if pminx > maxx or pmaxx < minx or pminy > maxy or pmaxy < miny:
+        return DISJOINT
+
+    corners_x = np.array([minx, minx, maxx, maxx])
+    corners_y = np.array([miny, maxy, miny, maxy])
+    corners_in = points_in_polygon(corners_x, corners_y, xs, ys, ring_offsets)
+
+    rings = [(0, len(xs))] if ring_offsets is None or len(ring_offsets) < 2 else \
+        [(ring_offsets[k], ring_offsets[k + 1]) for k in range(len(ring_offsets) - 1)]
+    proper_cross = any(_any_edge_proper_cross(xs[s:e], ys[s:e], minx, maxx, miny, maxy)
+                       for s, e in rings)
+    any_cross = any(polygon_edges_cross_rect(xs[s:e], ys[s:e], minx, maxx, miny, maxy)
+                    for s, e in rings)
+
+    if corners_in.all() and not proper_cross:
+        return CONTAINS  # polygon covers the rect (boundary touch allowed)
+    # rect is convex: all polygon vertices inside rect => whole polygon inside
+    verts_in_rect = ((xs >= minx) & (xs <= maxx) & (ys >= miny) & (ys <= maxy))
+    if verts_in_rect.all():
+        return WITHIN
+    if corners_in.any() or any_cross:
+        return INTERSECTS
+    return DISJOINT

@@ -1,0 +1,445 @@
+"""WKT shape parser producing flat shape records.
+
+Grammar: Spatial4n.Core/Io/WktShapeParser.cs:59-456 — POINT :258-269,
+MULTIPOINT :280-299, ENVELOPE (CQL ext, arg order x1 x2 y2 y1!) :312-328,
+LINESTRING :338-347, MULTILINESTRING :357-372, GEOMETRYCOLLECTION
+:381-396, BUFFER (spatial4n ext) :228-239, EMPTY / Z / M dims :517-540;
+polygons per Spatial4n.Core.NTS/Io/Nts/NtsWktShapeParser.cs:74-256 with
+DatelineRule.Width180 (:304-325, default per NtsSpatialContextFactory
+.cs:73): a ring wider than 180 deg is assumed to cross the dateline,
+unwrapped, and cut into +-180 pages (NtsGeometry.cs:379-527 analog).
+
+Output is a flat dict per shape (the Spark shape-struct):
+  kind: one of KIND_*; x,y,radius; minx,maxx,miny,maxy (bbox, dateline-
+  aware); xs,ys vertex arrays; ring_offsets (polygon rings / multi parts).
+Collections return kind=KIND_COLLECTION with `members` (list of dicts).
+
+The batch entry point `parse_wkt_batch` is what the pandas UDF calls:
+a vectorized regex fast-path handles the dominant POINT case; the
+tokenizer handles the rest per string (errors -> None + reason, no
+exceptions, mirroring engine kernels' no-throw rule).
+"""
+from __future__ import annotations
+
+import math
+import re
+from typing import Optional
+
+import numpy as np
+
+from .circle_box import geo_circle_bbox
+from .normalize import norm_lon_deg
+
+KIND_EMPTY = 0
+KIND_POINT = 1
+KIND_RECT = 2
+KIND_CIRCLE = 3
+KIND_LINESTRING = 4
+KIND_MULTIPOINT = 5
+KIND_MULTILINESTRING = 6
+KIND_POLYGON = 7
+KIND_MULTIPOLYGON = 8
+KIND_COLLECTION = 9
+
+_NUM_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+_POINT_FAST = re.compile(
+    rf"^\s*POINT\s*\(\s*({_NUM_RE})\s+({_NUM_RE})(?:\s+{_NUM_RE})*\s*\)\s*$",
+    re.IGNORECASE)
+
+_TOKEN = re.compile(rf"\s*({_NUM_RE}(?![A-Za-z0-9_.])|[A-Za-z][A-Za-z0-9_]*|[(),])")
+
+
+class WktParseError(ValueError):
+    pass
+
+
+class _State:
+    """Cursor over the token stream (WktShapeParser.State, :461-737)."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def peek(self) -> Optional[str]:
+        m = _TOKEN.match(self.text, self.pos)
+        return m.group(1) if m else None
+
+    def next(self) -> str:
+        m = _TOKEN.match(self.text, self.pos)
+        if not m:
+            raise WktParseError(f"unexpected input at {self.pos}: {self.text[self.pos:self.pos+20]!r}")
+        self.pos = m.end()
+        return m.group(1)
+
+    def expect(self, tok: str):
+        got = self.next()
+        if got != tok:
+            raise WktParseError(f"expected {tok!r} got {got!r} at {self.pos}")
+
+    def number(self) -> float:
+        tok = self.next()
+        try:
+            return float(tok)
+        except ValueError:
+            raise WktParseError(f"expected number, got {tok!r} at {self.pos}")
+
+    def at_end(self) -> bool:
+        return _TOKEN.match(self.text, self.pos) is None and not self.text[self.pos:].strip()
+
+
+def _empty(kind=KIND_EMPTY) -> dict:
+    nan = float("nan")
+    return dict(kind=kind, x=nan, y=nan, radius=nan,
+                minx=nan, maxx=nan, miny=nan, maxy=nan,
+                xs=[], ys=[], ring_offsets=[])
+
+
+def _mk_point(x: float, y: float) -> dict:
+    d = _empty(KIND_POINT)
+    d.update(x=x, y=y, minx=x, maxx=x, miny=y, maxy=y)
+    return d
+
+
+def _mk_rect(minx, maxx, miny, maxy, geo=True) -> dict:
+    # dateline-edge normalization per SpatialContext.MakeRectangle (:244-278)
+    if geo:
+        if minx == 180 and minx != maxx:
+            minx = -180.0
+        elif maxx == -180 and minx != maxx:
+            maxx = 180.0
+    if miny > maxy:
+        raise WktParseError(f"maxY must be >= minY: {miny} to {maxy}")
+    d = _empty(KIND_RECT)
+    d.update(minx=float(minx), maxx=float(maxx), miny=float(miny), maxy=float(maxy))
+    return d
+
+
+def _mk_circle(x, y, radius, geo=True) -> dict:
+    if radius < 0:
+        raise WktParseError(f"distance must be >= 0; got {radius}")
+    if geo and radius > 180:
+        radius = 180.0  # clamp, SpatialContext.MakeCircle:302-309
+    d = _empty(KIND_CIRCLE)
+    if geo:
+        bminx, bmaxx, bminy, bmaxy = (float(a[0]) for a in geo_circle_bbox(x, y, radius))
+    else:
+        bminx, bmaxx, bminy, bmaxy = x - radius, x + radius, y - radius, y + radius
+    d.update(x=float(x), y=float(y), radius=float(radius),
+             minx=bminx, maxx=bmaxx, miny=bminy, maxy=bmaxy)
+    return d
+
+
+def _bbox_of(xs, ys) -> tuple:
+    return (min(xs), max(xs), min(ys), max(ys))
+
+
+def _mk_line(pts, buf=0.0) -> dict:
+    d = _empty(KIND_LINESTRING)
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    minx, maxx, miny, maxy = _bbox_of(xs, ys)
+    d.update(xs=xs, ys=ys, radius=float(buf),
+             minx=minx - buf, maxx=maxx + buf, miny=miny - buf, maxy=maxy + buf)
+    return d
+
+
+def _clip_halfplane(pts, keep_fn, cross_x):
+    """Sutherland-Hodgman clip of a ring against a vertical line x=cross_x."""
+    out = []
+    n = len(pts)
+    for i in range(n):
+        cur, nxt = pts[i], pts[(i + 1) % n]
+        cin, nin = keep_fn(cur[0]), keep_fn(nxt[0])
+        if cin:
+            out.append(cur)
+        if cin != nin and nxt[0] != cur[0]:
+            t = (cross_x - cur[0]) / (nxt[0] - cur[0])
+            out.append((cross_x, cur[1] + t * (nxt[1] - cur[1])))
+    return out
+
+
+def _mk_polygon(rings, geo=True) -> dict:
+    """Polygon with holes; Width180 dateline rule.
+
+    If the shell's raw width > 180 we assume it crosses the dateline
+    (NtsWktShapeParser.DatelineRule.Width180, :304-325): negative xs are
+    shifted +360, then the polygon is cut into pages at x=180 and the
+    high page is shifted back by -360 (NtsGeometry dateline pages,
+    :379-527). Pages become a multipolygon whose bbox is the smart
+    (narrow) dateline-crossing bbox.
+    """
+    shell = rings[0]
+    xs = [p[0] for p in shell]
+    raw_w = max(xs) - min(xs)
+    if geo and raw_w > 180.0:
+        shifted = [[(x + 360.0 if x < 0 else x, y) for (x, y) in ring] for ring in rings]
+        pages = []
+        for ring in shifted:
+            low = _clip_halfplane(ring, lambda x: x <= 180.0, 180.0)
+            high = _clip_halfplane(ring, lambda x: x >= 180.0, 180.0)
+            if len(low) >= 3:
+                pages.append([(x, y) for (x, y) in low])
+            if len(high) >= 3:
+                pages.append([(norm_lon_deg(x - 360.0) if x != 180.0 else -180.0, y)
+                              for (x, y) in high])
+        d = _mk_multi_parts(pages, KIND_MULTIPOLYGON)
+        sxs = [p[0] for ring in shifted for p in ring]
+        sys_ = [p[1] for ring in shifted for p in ring]
+        d.update(minx=norm_lon_deg(min(sxs)), maxx=norm_lon_deg(max(sxs)),
+                 miny=min(sys_), maxy=max(sys_))
+        return d
+    d = _empty(KIND_POLYGON)
+    flat_x, flat_y, offsets = [], [], [0]
+    for ring in rings:
+        flat_x.extend(p[0] for p in ring)
+        flat_y.extend(p[1] for p in ring)
+        offsets.append(len(flat_x))
+    minx, maxx, miny, maxy = _bbox_of(flat_x, flat_y)
+    d.update(xs=flat_x, ys=flat_y, ring_offsets=offsets,
+             minx=minx, maxx=maxx, miny=miny, maxy=maxy)
+    return d
+
+
+def _merge_polygon_members(members) -> dict:
+    """Merge per-part polygon records into one multipolygon record.
+
+    Rings stay delimited by ring_offsets (even-odd PIP downstream); the
+    bbox is the longitude-smart union of part bboxes (ShapeCollection.
+    ComputeBoundingBox, ShapeCollection.cs:67-91 + Range.cs:182-202).
+    """
+    from .extent import union_bboxes
+    d = _empty(KIND_MULTIPOLYGON)
+    flat_x, flat_y, offsets = [], [], [0]
+    for m in members:
+        base = len(flat_x)
+        flat_x.extend(m["xs"])
+        flat_y.extend(m["ys"])
+        ro = m["ring_offsets"] or [0, len(m["xs"])]
+        offsets.extend(base + o for o in ro[1:])
+    minx, maxx, miny, maxy = union_bboxes(
+        [(m["minx"], m["maxx"], m["miny"], m["maxy"]) for m in members])
+    d.update(xs=flat_x, ys=flat_y, ring_offsets=offsets,
+             minx=minx, maxx=maxx, miny=miny, maxy=maxy)
+    return d
+
+
+def _mk_multi_parts(parts, kind) -> dict:
+    """Multi-polygon (one ring per part, holes not nested across parts)."""
+    d = _empty(kind)
+    flat_x, flat_y, offsets = [], [], [0]
+    for part in parts:
+        flat_x.extend(p[0] for p in part)
+        flat_y.extend(p[1] for p in part)
+        offsets.append(len(flat_x))
+    if flat_x:
+        minx, maxx, miny, maxy = _bbox_of(flat_x, flat_y)
+        d.update(minx=minx, maxx=maxx, miny=miny, maxy=maxy)
+    d.update(xs=flat_x, ys=flat_y, ring_offsets=offsets)
+    return d
+
+
+def _maybe_dims(st: _State):
+    """Consume optional Z/M/ZM dimension token (WktShapeParser.cs:517-540)."""
+    tok = st.peek()
+    if tok is not None and tok.upper() in ("Z", "M", "ZM"):
+        st.next()
+
+
+def _maybe_empty(st: _State) -> bool:
+    tok = st.peek()
+    if tok is not None and tok.upper() == "EMPTY":
+        st.next()
+        return True
+    return False
+
+
+def _point_xy(st: _State) -> tuple:
+    """x y [extra dims ignored] — WktShapeParser.Point (:258-269)."""
+    x = st.number()
+    y = st.number()
+    while True:
+        tok = st.peek()
+        if tok is None or tok in (",", ")", "("):
+            break
+        try:
+            float(tok)
+        except ValueError:
+            raise WktParseError(f"unexpected token {tok!r}")
+        st.next()
+    return (x, y)
+
+
+def _points_list(st: _State) -> list:
+    """'(' x y, x y, ... ')' with optional per-point parens (MULTIPOINT)."""
+    st.expect("(")
+    pts = []
+    while True:
+        if st.peek() == "(":
+            st.next()
+            pts.append(_point_xy(st))
+            st.expect(")")
+        else:
+            pts.append(_point_xy(st))
+        tok = st.next()
+        if tok == ")":
+            break
+        if tok != ",":
+            raise WktParseError(f"expected , or ) got {tok!r}")
+    return pts
+
+
+def parse_shape(wkt: str, geo: bool = True) -> dict:
+    """Parse one WKT string to a shape record. Raises WktParseError."""
+    st = _State(wkt)
+    shape = _parse_shape(st, geo)
+    if not st.at_end():
+        raise WktParseError(f"trailing input at {st.pos}")
+    return shape
+
+
+def _parse_shape(st: _State, geo: bool) -> dict:
+    word = st.next().upper()
+    if word == "POINT":
+        _maybe_dims(st)
+        if _maybe_empty(st):
+            return _empty()
+        st.expect("(")
+        pt = _point_xy(st)
+        st.expect(")")
+        return _mk_point(*pt)
+    if word == "MULTIPOINT":
+        _maybe_dims(st)
+        if _maybe_empty(st):
+            return _empty()
+        pts = _points_list(st)
+        d = _mk_multi_parts([[p] for p in pts], KIND_MULTIPOINT)
+        return d
+    if word == "ENVELOPE":
+        # CQL extension; arg order x1, x2, maxY, minY! (:312-328)
+        st.expect("(")
+        x1 = st.number(); st.expect(",")
+        x2 = st.number(); st.expect(",")
+        y2 = st.number(); st.expect(",")
+        y1 = st.number()
+        st.expect(")")
+        return _mk_rect(x1, x2, y1, y2, geo)
+    if word in ("LINESTRING",):
+        _maybe_dims(st)
+        if _maybe_empty(st):
+            return _empty()
+        return _mk_line(_points_list(st), 0.0)
+    if word == "MULTILINESTRING":
+        _maybe_dims(st)
+        if _maybe_empty(st):
+            return _empty()
+        st.expect("(")
+        parts = []
+        while True:
+            parts.append(_points_list(st))
+            tok = st.next()
+            if tok == ")":
+                break
+            if tok != ",":
+                raise WktParseError(f"expected , or ) got {tok!r}")
+        return _mk_multi_parts(parts, KIND_MULTILINESTRING)
+    if word == "POLYGON":
+        _maybe_dims(st)
+        if _maybe_empty(st):
+            return _empty()
+        st.expect("(")
+        rings = []
+        while True:
+            rings.append(_points_list(st))
+            tok = st.next()
+            if tok == ")":
+                break
+            if tok != ",":
+                raise WktParseError(f"expected , or ) got {tok!r}")
+        return _mk_polygon(rings, geo)
+    if word == "MULTIPOLYGON":
+        _maybe_dims(st)
+        if _maybe_empty(st):
+            return _empty()
+        st.expect("(")
+        members = []
+        while True:
+            st.expect("(")
+            rings = []
+            while True:
+                rings.append(_points_list(st))
+                tok = st.next()
+                if tok == ")":
+                    break
+                if tok != ",":
+                    raise WktParseError(f"expected , or ) got {tok!r}")
+            members.append(_mk_polygon(rings, geo))  # per-part dateline rule
+            tok = st.next()
+            if tok == ")":
+                break
+            if tok != ",":
+                raise WktParseError(f"expected , or ) got {tok!r}")
+        return _merge_polygon_members(members)
+    if word == "GEOMETRYCOLLECTION":
+        _maybe_dims(st)
+        if _maybe_empty(st):
+            d = _empty(KIND_COLLECTION)
+            d["members"] = []
+            return d
+        st.expect("(")
+        members = []
+        while True:
+            members.append(_parse_shape(st, geo))
+            tok = st.next()
+            if tok == ")":
+                break
+            if tok != ",":
+                raise WktParseError(f"expected , or ) got {tok!r}")
+        d = _empty(KIND_COLLECTION)
+        d["members"] = members
+        real = [m for m in members if m["kind"] != KIND_EMPTY]
+        if real:
+            from .extent import union_bboxes
+            minx, maxx, miny, maxy = union_bboxes(
+                [(m["minx"], m["maxx"], m["miny"], m["maxy"]) for m in real])
+            d.update(minx=minx, maxx=maxx, miny=miny, maxy=maxy)
+        return d
+    if word == "BUFFER":
+        # spatial4n extension (:228-239): BUFFER(shape, dist)
+        st.expect("(")
+        inner = _parse_shape(st, geo)
+        st.expect(",")
+        dist = st.number()
+        st.expect(")")
+        if inner["kind"] == KIND_POINT:
+            return _mk_circle(inner["x"], inner["y"], dist, geo)
+        if inner["kind"] == KIND_LINESTRING:
+            return _mk_line(list(zip(inner["xs"], inner["ys"])), dist)
+        raise WktParseError("BUFFER only supported for POINT and LINESTRING")
+    raise WktParseError(f"unknown shape type {word!r}")
+
+
+def parse_wkt_batch(texts, geo: bool = True):
+    """Batch parse: list/Series of WKT -> (records, errors) parallel lists.
+
+    records[i] is a shape dict or None; errors[i] is None or the reason.
+    Fast path: POINT via one vectorized regex pass.
+    """
+    records = []
+    errors = []
+    for t in texts:
+        if t is None:
+            records.append(None)
+            errors.append("null")
+            continue
+        m = _POINT_FAST.match(t)
+        if m:
+            records.append(_mk_point(float(m.group(1)), float(m.group(2))))
+            errors.append(None)
+            continue
+        try:
+            records.append(parse_shape(t, geo))
+            errors.append(None)
+        except (WktParseError, Exception) as e:  # noqa: BLE001 - kernels never throw
+            records.append(None)
+            errors.append(str(e)[:200])
+    return records, errors
