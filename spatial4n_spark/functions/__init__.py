@@ -1,0 +1,264 @@
+"""Columnar st_* surface: shape struct schema + Arrow-batched UDFs.
+
+Design rule (BASELINE north_star): geometry math runs in vectorized
+NumPy inside pandas UDFs (Arrow batch transfer), never per-row Python;
+everything relational stays in JVM whole-stage codegen via built-in
+pyspark.sql.functions.
+
+The shape struct mirrors the reference's tagged binary union
+(Io/BinaryCodec.cs:40-57): a kind byte + doubles + vertex arrays, with
+the bbox materialized eagerly (the reference caches bboxes per shape —
+CircleImpl.cs:38-49, NtsGeometry.cs:79-87 — we persist them as columns
+so scans can prune on min/max statistics).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, ByteType, DoubleType, IntegerType,
+                               StringType, StructField, StructType)
+
+from ..kernels import geohash as _gh
+from ..kernels import relation as _rel
+from ..kernels import wkt as _wkt
+from ..kernels.circle_box import geo_circle_bbox as _geo_circle_bbox
+from ..kernels.distance import geo_distance_deg as _geo_dist
+from ..kernels.relate_circle import relate_circle_rect as _relate_circle_rect
+from ..kernels.relate_rect import relate_rect_point as _relate_rect_point
+from ..kernels.relate_rect import relate_rect_rect as _relate_rect_rect
+
+SHAPE_FIELDS = [
+    StructField("kind", ByteType()),
+    StructField("x", DoubleType()),
+    StructField("y", DoubleType()),
+    StructField("radius", DoubleType()),
+    StructField("minx", DoubleType()),
+    StructField("maxx", DoubleType()),
+    StructField("miny", DoubleType()),
+    StructField("maxy", DoubleType()),
+    StructField("xs", ArrayType(DoubleType())),
+    StructField("ys", ArrayType(DoubleType())),
+    StructField("ring_offsets", ArrayType(IntegerType())),
+    StructField("error", StringType()),
+]
+SHAPE_SCHEMA = StructType(SHAPE_FIELDS)
+
+_EMPTY_ROW = dict(kind=0, x=None, y=None, radius=None, minx=None, maxx=None,
+                  miny=None, maxy=None, xs=None, ys=None, ring_offsets=None)
+
+
+@pandas_udf(SHAPE_SCHEMA)
+def st_from_wkt(texts: pd.Series) -> pd.DataFrame:
+    """WKT -> shape struct (+ error column instead of exceptions).
+
+    Parser semantics: Io/WktShapeParser.cs grammar incl. ENVELOPE arg
+    order and BUFFER extension; vectorized POINT fast path.
+    """
+    recs, errs = _wkt.parse_wkt_batch(texts.tolist())
+    rows = []
+    for rec, err in zip(recs, errs):
+        if rec is None:
+            row = dict(_EMPTY_ROW)
+            row["error"] = err
+        else:
+            row = {k: rec.get(k) for k in _EMPTY_ROW}
+            row["error"] = None
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(StringType())
+def _st_cell_udf(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Series:
+    p = int(precision.iloc[0])
+    return pd.Series(_gh.encode(lat.to_numpy(), lon.to_numpy(), p))
+
+
+def st_cell(lat, lon, precision: int):
+    """Geohash cell id of points (GeohashUtils.EncodeLatLon semantics)."""
+    return _st_cell_udf(lat, lon, F.lit(precision))
+
+
+@pandas_udf(ArrayType(StringType()))
+def _st_cover_udf(minx: pd.Series, maxx: pd.Series, miny: pd.Series,
+                  maxy: pd.Series, precision: pd.Series) -> pd.Series:
+    p = int(precision.iloc[0])
+    out = []
+    mnx, mxx, mny, mxy = (minx.to_numpy(), maxx.to_numpy(),
+                          miny.to_numpy(), maxy.to_numpy())
+    for i in range(len(mnx)):
+        if np.isnan(mnx[i]):
+            out.append([])
+        else:
+            out.append(_gh.cover_cells_bbox(mnx[i], mxx[i], mny[i], mxy[i], p))
+    return pd.Series(out)
+
+
+def st_cover_cells(minx, maxx, miny, maxy, precision: int):
+    """Tile cover of a bbox at a fixed level (dateline-aware).
+
+    Equivalent to recursive GetSubGeohashes expansion with bbox pruning
+    (GeohashUtils.cs:207-216) evaluated at `precision`.
+    """
+    return _st_cover_udf(minx, maxx, miny, maxy, F.lit(precision))
+
+
+_BOX_SCHEMA = StructType([
+    StructField("minx", DoubleType()), StructField("maxx", DoubleType()),
+    StructField("miny", DoubleType()), StructField("maxy", DoubleType()),
+])
+
+
+@pandas_udf(_BOX_SCHEMA)
+def st_cell_to_box(cells: pd.Series) -> pd.DataFrame:
+    """Geohash -> cell bbox (GeohashUtils.DecodeBoundary, :163-204)."""
+    minx, maxx, miny, maxy = _gh.decode_boundary(cells.to_numpy(dtype=str))
+    return pd.DataFrame({"minx": minx, "maxx": maxx, "miny": miny, "maxy": maxy})
+
+
+@pandas_udf(_BOX_SCHEMA)
+def _st_circle_box_udf(x: pd.Series, y: pd.Series, r: pd.Series) -> pd.DataFrame:
+    minx, maxx, miny, maxy = _geo_circle_bbox(x.to_numpy(), y.to_numpy(), r.to_numpy())
+    return pd.DataFrame({"minx": minx, "maxx": maxx, "miny": miny, "maxy": maxy})
+
+
+def st_circle_bbox(x, y, radius_deg):
+    """Geo circle -> enclosing bbox (DistanceUtils.CalcBoxByDistFromPtDEG)."""
+    return _st_circle_box_udf(x, y, radius_deg)
+
+
+def _make_distance_udf(calculator: str):
+    @pandas_udf(DoubleType())
+    def _udf(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+        return pd.Series(_geo_dist(x1.to_numpy(), y1.to_numpy(),
+                                   x2.to_numpy(), y2.to_numpy(), calculator))
+    return _udf
+
+
+_DIST_UDFS = {c: _make_distance_udf(c)
+              for c in ("haversine", "lawOfCosines", "vincentySphere")}
+
+
+def st_distance_deg(x1, y1, x2, y2, calculator: str = "haversine"):
+    """Great-circle distance in degrees (exact reference formulas)."""
+    return _DIST_UDFS[calculator](x1, y1, x2, y2)
+
+
+def st_distance_km(x1, y1, x2, y2, calculator: str = "haversine"):
+    from ..kernels.normalize import DEGREES_TO_KILOMETERS
+    return st_distance_deg(x1, y1, x2, y2, calculator) * F.lit(DEGREES_TO_KILOMETERS)
+
+
+def st_dwithin(x1, y1, x2, y2, dist_deg, calculator: str = "haversine"):
+    """Distance-within predicate (AbstractDistanceCalculator.Within)."""
+    return st_distance_deg(x1, y1, x2, y2, calculator) <= dist_deg
+
+
+@pandas_udf(ByteType())
+def st_relate_rect_point(minx: pd.Series, maxx: pd.Series, miny: pd.Series,
+                         maxy: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+    """Dateline-aware rect.Relate(point) (RectangleImpl.cs:176-209)."""
+    return pd.Series(_relate_rect_point(
+        minx.to_numpy(), maxx.to_numpy(), miny.to_numpy(), maxy.to_numpy(),
+        px.to_numpy(), py.to_numpy(), geo=True))
+
+
+@pandas_udf(ByteType())
+def st_relate_rect_rect(minx: pd.Series, maxx: pd.Series, miny: pd.Series, maxy: pd.Series,
+                        eminx: pd.Series, emaxx: pd.Series, eminy: pd.Series,
+                        emaxy: pd.Series) -> pd.Series:
+    """Dateline-aware rect.Relate(rect) (RectangleImpl.cs:211-297)."""
+    return pd.Series(_relate_rect_rect(
+        minx.to_numpy(), maxx.to_numpy(), miny.to_numpy(), maxy.to_numpy(),
+        eminx.to_numpy(), emaxx.to_numpy(), eminy.to_numpy(), emaxy.to_numpy(), geo=True))
+
+
+@pandas_udf(ByteType())
+def st_relate_circle_rect(cx: pd.Series, cy: pd.Series, r: pd.Series,
+                          minx: pd.Series, maxx: pd.Series, miny: pd.Series,
+                          maxy: pd.Series) -> pd.Series:
+    """GeoCircle.Relate(rect) full state machine (GeoCircle.cs:107-230)."""
+    return pd.Series(_relate_circle_rect(
+        cx.to_numpy(), cy.to_numpy(), r.to_numpy(),
+        minx.to_numpy(), maxx.to_numpy(), miny.to_numpy(), maxy.to_numpy(), geo=True))
+
+
+@pandas_udf(ByteType())
+def _st_relate_shape_point_udf(kind: pd.Series, x: pd.Series, y: pd.Series,
+                               radius: pd.Series, minx: pd.Series, maxx: pd.Series,
+                               miny: pd.Series, maxy: pd.Series,
+                               xs: pd.Series, ys: pd.Series, ring_offsets: pd.Series,
+                               px: pd.Series, py: pd.Series) -> pd.Series:
+    """shape.Relate(point) dispatch by kind — the join refine kernel.
+
+    Kernel selection happens per (kind-group), not per row: rows are
+    grouped by kind and each group is processed as one NumPy batch.
+    """
+    from ..kernels.pip import points_in_polygon
+    from ..kernels.relate_circle import relate_circle_point
+    from ..kernels.relate_line import linestring_contains_point
+
+    n = len(kind)
+    out = np.full(n, _rel.DISJOINT, dtype=np.int8)
+    kd = kind.to_numpy()
+    pxv = px.to_numpy(dtype=np.float64)
+    pyv = py.to_numpy(dtype=np.float64)
+
+    m = kd == _wkt.KIND_RECT
+    if m.any():
+        out[m] = _relate_rect_point(minx.to_numpy()[m], maxx.to_numpy()[m],
+                                    miny.to_numpy()[m], maxy.to_numpy()[m],
+                                    pxv[m], pyv[m], geo=True)
+    m = kd == _wkt.KIND_CIRCLE
+    if m.any():
+        out[m] = relate_circle_point(x.to_numpy()[m], y.to_numpy()[m],
+                                     radius.to_numpy()[m], pxv[m], pyv[m], geo=True)
+    m = kd == _wkt.KIND_POINT
+    if m.any():
+        same = (x.to_numpy()[m] == pxv[m]) & (y.to_numpy()[m] == pyv[m])
+        out[m] = np.where(same, _rel.CONTAINS, _rel.DISJOINT)
+    m = (kd == _wkt.KIND_POLYGON) | (kd == _wkt.KIND_MULTIPOLYGON)
+    if m.any():
+        # group rows sharing the same polygon (joins replicate one shape
+        # to many candidate points) and PIP each group as one batch
+        idxs = np.nonzero(m)[0]
+        groups: dict = {}
+        for i in idxs:
+            vx = xs.iloc[i]
+            key = (len(vx), vx[0], vx[-1], ys.iloc[i][0])
+            groups.setdefault(key, []).append(i)
+        for rows in groups.values():
+            i0 = rows[0]
+            vx = np.asarray(xs.iloc[i0], dtype=np.float64)
+            vy = np.asarray(ys.iloc[i0], dtype=np.float64)
+            ro = np.asarray(ring_offsets.iloc[i0], dtype=np.int64)
+            rows = np.asarray(rows)
+            hit = points_in_polygon(pxv[rows], pyv[rows], vx, vy, ro)
+            out[rows] = np.where(hit, _rel.CONTAINS, _rel.DISJOINT)
+    m = kd == _wkt.KIND_LINESTRING
+    if m.any():
+        for i in np.nonzero(m)[0]:
+            vx = np.asarray(xs.iloc[i], dtype=np.float64)
+            vy = np.asarray(ys.iloc[i], dtype=np.float64)
+            hit = linestring_contains_point(vx, vy, float(radius.iloc[i]),
+                                            pxv[i:i + 1], pyv[i:i + 1])[0]
+            out[i] = _rel.CONTAINS if hit else _rel.DISJOINT
+    return pd.Series(out)
+
+
+def st_relate_shape_point(shape_col, px, py):
+    """shape.Relate(point) over a shape-struct column."""
+    s = shape_col
+    return _st_relate_shape_point_udf(
+        s["kind"], s["x"], s["y"], s["radius"], s["minx"], s["maxx"],
+        s["miny"], s["maxy"], s["xs"], s["ys"], s["ring_offsets"], px, py)
+
+
+def st_relation_name(rel_col):
+    """Relation code -> name (WITHIN/CONTAINS/DISJOINT/INTERSECTS)."""
+    return (F.when(rel_col == _rel.WITHIN, "WITHIN")
+             .when(rel_col == _rel.CONTAINS, "CONTAINS")
+             .when(rel_col == _rel.DISJOINT, "DISJOINT")
+             .when(rel_col == _rel.INTERSECTS, "INTERSECTS")
+             .otherwise("NONE"))

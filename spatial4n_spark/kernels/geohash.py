@@ -89,6 +89,87 @@ def encode(lat, lon, precision: int = 12) -> np.ndarray:
     return chars.T.copy().view(f"S{precision}").reshape(n).astype(str)
 
 
+def cell_indices(lat, lon, precision: int) -> tuple[np.ndarray, np.ndarray]:
+    """Integer (lon_idx, lat_idx) of the cell containing each point.
+
+    Same bisection semantics as encode() (strictly-greater goes high),
+    so indices_to_hash(cell_indices(...)) == encode(...). Lon gets
+    ceil(5p/2) bits, lat gets floor(5p/2).
+    """
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat, lon = np.broadcast_arrays(lat, lon)
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_idx = np.zeros(lon.shape, dtype=np.int64)
+    lat_idx = np.zeros(lat.shape, dtype=np.int64)
+    lo, hi = np.full(lon.shape, -180.0), np.full(lon.shape, 180.0)
+    for _ in range(lon_bits):
+        mid = (lo + hi) * 0.5
+        m = lon > mid
+        lon_idx = (lon_idx << 1) | m
+        lo = np.where(m, mid, lo)
+        hi = np.where(m, hi, mid)
+    lo, hi = np.full(lat.shape, -90.0), np.full(lat.shape, 90.0)
+    for _ in range(lat_bits):
+        mid = (lo + hi) * 0.5
+        m = lat > mid
+        lat_idx = (lat_idx << 1) | m
+        lo = np.where(m, mid, lo)
+        hi = np.where(m, hi, mid)
+    return lon_idx, lat_idx
+
+
+def indices_to_hash(lon_idx, lat_idx, precision: int) -> np.ndarray:
+    """Inverse of cell_indices: interleave (lon first) and base32-encode."""
+    lon_idx = np.atleast_1d(np.asarray(lon_idx, dtype=np.int64))
+    lat_idx = np.atleast_1d(np.asarray(lat_idx, dtype=np.int64))
+    lon_idx, lat_idx = np.broadcast_arrays(lon_idx, lat_idx)
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    code = np.zeros(lon_idx.shape, dtype=np.int64)
+    li, ti = lon_bits, lat_bits  # remaining bits
+    for b in range(nbits):
+        if b % 2 == 0:
+            li -= 1
+            bit = (lon_idx >> li) & 1
+        else:
+            ti -= 1
+            bit = (lat_idx >> ti) & 1
+        code = (code << 1) | bit
+    chars = np.empty((precision, lon_idx.shape[0]), dtype=np.uint8)
+    for c in range(precision):
+        shift = nbits - 5 * (c + 1)
+        chars[c] = _BASE32_ARR[(code >> shift) & 31]
+    return chars.T.copy().view(f"S{precision}").reshape(lon_idx.shape[0]).astype(str)
+
+
+def cover_cells_bbox(minx, maxx, miny, maxy, precision: int) -> list:
+    """All cells at `precision` overlapping a (dateline-aware) bbox.
+
+    The tile-cover operator: equivalent to the reference's recursive
+    GetSubGeohashes child expansion with bbox pruning (GeohashUtils.cs
+    :207-216) evaluated at a fixed level — for a rectangle the surviving
+    set is exactly the index grid range. Returns a python list of cell
+    ids for ONE bbox.
+    """
+    nbits = precision * 5
+    lon_n = 1 << ((nbits + 1) // 2)
+    lat_n = 1 << (nbits // 2)
+    ilo_lon, ilo_lat = cell_indices([miny], [minx], precision)
+    ihi_lon, ihi_lat = cell_indices([maxy], [maxx], precision)
+    lat_range = np.arange(ilo_lat[0], ihi_lat[0] + 1)
+    if minx <= maxx:
+        lon_range = np.arange(ilo_lon[0], ihi_lon[0] + 1)
+    else:  # dateline-crossing: [minx..180] + [-180..maxx]
+        lon_range = np.concatenate([np.arange(ilo_lon[0], lon_n),
+                                    np.arange(0, ihi_lon[0] + 1)])
+    lon_g, lat_g = np.meshgrid(lon_range, lat_range)
+    return indices_to_hash(lon_g.ravel(), lat_g.ravel(), precision).tolist()
+
+
 def decode_boundary(geohashes) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Geohash strings -> (minx, maxx, miny, maxy). GeohashUtils.cs:163-204.
 

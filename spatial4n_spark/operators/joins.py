@@ -1,0 +1,160 @@
+"""Distributed spatial joins: the coarse/refine cell-index skeleton.
+
+Pattern (SURVEY.md section 2.6): shapes -> tile cover (explode) ->
+equi-join on cell_id against point cells -> cheap vectorized bbox gate
+-> exact relate kernel refine. A (point, shape) pair appears at most
+once by construction: a point lives in exactly ONE cell at a level and
+a shape's cover set has no duplicates — no post-join dedup shuffle.
+
+Scale levers:
+- broadcast(shape_cover) when the shape side is small (the common
+  query-shapes-vs-planet case);
+- salting for hot cells: point side gets cell_id+salt, shape side is
+  replicated x salt (only when shuffling);
+- AQE skew-join as the runtime backstop (session.py).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import functions as SF
+from ..kernels import relation as REL
+from ..plans.strategy import JoinPlan
+
+
+def with_point_cell(points: DataFrame, x: str = "x", y: str = "y",
+                    precision: int = 6, cell_col: str = "cell_id") -> DataFrame:
+    """Assign each point its (single) geohash cell."""
+    return points.withColumn(cell_col, SF.st_cell(F.col(y), F.col(x), precision))
+
+
+def with_shape_cover(shapes: DataFrame, shape_col: str = "shape",
+                     precision: int = 6, cover_col: str = "cover_cell") -> DataFrame:
+    """Explode each shape to its covering cells (bbox cover).
+
+    The bbox is the shape struct's materialized minx/maxx/miny/maxy
+    (dateline-aware), so circles/polygons/rects all cover correctly.
+    """
+    s = F.col(shape_col)
+    return (shapes
+            .withColumn("__cells", SF.st_cover_cells(s["minx"], s["maxx"],
+                                                     s["miny"], s["maxy"], precision))
+            .withColumn(cover_col, F.explode("__cells"))
+            .drop("__cells"))
+
+
+def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
+                        point_x: str = "x", point_y: str = "y",
+                        shape_col: str = "shape",
+                        how: str = "inner") -> DataFrame:
+    """Spatial join: rows where shape covers point (relate == CONTAINS).
+
+    `how`: inner (pairs), leftsemi (points hitting any shape),
+    leftanti (points hitting none).
+    """
+    pts = with_point_cell(points, point_x, point_y, plan.precision)
+    cover = with_shape_cover(shapes, shape_col, plan.precision)
+
+    if plan.broadcast_shapes:
+        cover = F.broadcast(cover)
+        join_cond = pts["cell_id"] == cover["cover_cell"]
+    elif plan.salt:
+        # replicate shape rows across salt buckets; point picks one bucket
+        n = plan.salt
+        cover = cover.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n)])))
+        pts = pts.withColumn("__salt", F.pmod(F.hash(F.col(point_x), F.col(point_y)), F.lit(n)))
+        join_cond = (pts["cell_id"] == cover["cover_cell"]) & (pts["__salt"] == cover["__salt"])
+    else:
+        join_cond = pts["cell_id"] == cover["cover_cell"]
+
+    if how in ("leftsemi", "leftanti"):
+        # refine must run before the semi/anti projection: join inner
+        # first, refine, then semi/anti by key
+        pass
+
+    joined = pts.join(cover, join_cond, "inner")
+    s = F.col(shape_col)
+    # cheap vectorized bbox gate before the exact kernel (JVM-side,
+    # whole-stage codegen; dateline-aware via the +-360 shift)
+    px, py = F.col(point_x), F.col(point_y)
+    px_shift = F.when(px < s["minx"], px + 360.0).otherwise(
+        F.when(px > F.when(s["maxx"] < s["minx"], s["maxx"] + 360.0).otherwise(s["maxx"]),
+               px - 360.0).otherwise(px))
+    maxx_u = F.when(s["maxx"] < s["minx"], s["maxx"] + 360.0).otherwise(s["maxx"])
+    bbox_ok = (py >= s["miny"]) & (py <= s["maxy"]) & \
+              (px_shift >= s["minx"]) & (px_shift <= maxx_u)
+    refined = (joined
+               .where(bbox_ok)
+               .withColumn("relation", SF.st_relate_shape_point(s, px, py))
+               .where(F.col("relation") == REL.CONTAINS))
+    refined = refined.drop("cover_cell", "__salt")
+    if how == "inner":
+        return refined
+    key_cols = [points[c] for c in points.columns]
+    hits = refined.select(*[F.col(c) for c in points.columns]).distinct()
+    if how == "leftsemi":
+        return points.join(hits, on=points.columns, how="leftsemi")
+    if how == "leftanti":
+        return points.join(hits, on=points.columns, how="leftanti")
+    raise ValueError(how)
+
+
+def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Column,
+                  plan: JoinPlan,
+                  point_x: str = "x", point_y: str = "y",
+                  query_x: str = "qx", query_y: str = "qy",
+                  calculator: str = "haversine") -> DataFrame:
+    """All (point, query) pairs within radius (degrees), exact.
+
+    Query circles expand to bboxes (CalcBoxByDistFromPtDEG semantics,
+    pole/dateline handled) -> cell cover -> equi-join -> exact distance
+    refine. Adds a `dist_deg` column.
+    """
+    qx, qy = F.col(query_x), F.col(query_y)
+    box = SF.st_circle_bbox(qx, qy, radius_deg if isinstance(radius_deg, Column)
+                            else F.lit(float(radius_deg)))
+    q = queries.withColumn("__box", box)
+    q = (q.withColumn("__cells", SF.st_cover_cells(
+            F.col("__box.minx"), F.col("__box.maxx"),
+            F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
+          .withColumn("cover_cell", F.explode("__cells"))
+          .drop("__cells", "__box"))
+    pts = with_point_cell(points, point_x, point_y, plan.precision)
+    if plan.broadcast_shapes:
+        q = F.broadcast(q)
+    joined = pts.join(q, pts["cell_id"] == q["cover_cell"], "inner").drop("cover_cell")
+    dist = SF.st_distance_deg(F.col(point_x), F.col(point_y), qx, qy, calculator)
+    out = joined.withColumn("dist_deg", dist)
+    rad = radius_deg if isinstance(radius_deg, Column) else F.lit(float(radius_deg))
+    return out.where(F.col("dist_deg") <= rad)
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
+             plan: JoinPlan,
+             point_x: str = "x", point_y: str = "y",
+             query_x: str = "qx", query_y: str = "qy",
+             query_id: str = "query_id",
+             rerank_calculator: str = "vincentySphere",
+             tie_break: str | None = None) -> DataFrame:
+    """Bounded-radius kNN: candidates within `radius_deg` via the cell
+    cover, haversine pre-rank, exact re-rank (reference pattern:
+    squared/cheap pre-rank then exact, CartesianDistCalc.cs:36-49),
+    row_number() <= k per query.
+
+    Exact when every query has >= k neighbors within radius (else the
+    tail is truncated — callers size the radius; a production iterative
+    ring-expansion retry is layered in operators/knn_rings.py).
+    """
+    cand = distance_join(points, queries, radius_deg, plan,
+                         point_x, point_y, query_x, query_y,
+                         calculator="haversine")
+    exact = SF.st_distance_deg(F.col(point_x), F.col(point_y),
+                               F.col(query_x), F.col(query_y), rerank_calculator)
+    cand = cand.withColumn("dist_exact", exact)
+    order = [F.col("dist_exact").asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (cand.withColumn("knn_rank", F.row_number().over(w))
+                .where(F.col("knn_rank") <= k))

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the engine's workload shape: Arrow-batched kernel UDFs, cell
+equi-joins with potential skew, bbox-column pruning. On a real cluster
+the same confs apply; parallelism comes from the master/cluster manager.
+"""
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for worker shipping (the --py-files artifact).
+
+    On a cluster: `spark-submit --py-files $(python -c 'from
+    spatial4n_spark.session import package_zip; print(package_zip())')`.
+    Locally, get_spark() calls addPyFile with it so pandas-UDF workers
+    can import the kernels regardless of the driver's cwd.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join("/tmp", "spatial4n_spark_pkg.zip")
+    src_mtime = max(os.path.getmtime(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(pkg_dir) for f in fs if f.endswith(".py"))
+    if not os.path.exists(out) or os.path.getmtime(out) < src_mtime:
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dp, _, fs in os.walk(pkg_dir):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(dp, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, out)
+    return out
+
+
+def get_spark(app: str = "spatial4n_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2x cores locally; on a cluster AQE coalesces from a higher start
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join splitting (hot geo cells)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for pandas UDF kernels; batch size caps kernel
+        # working-set (vertex arrays can be wide)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # keep scans splittable at ~128MB for the 100TB target
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

@@ -1,0 +1,102 @@
+"""Deterministic synthetic interleaved-document table (the graft input).
+
+Schema per BASELINE.json input_hint:
+  docs(doc_id: string,
+       spans: array<struct<kind:string, text:string, media_ref:string,
+                           offset:int>>)
+
+Text spans carry WKT geo payloads (points, envelopes, buffered points,
+polygons — grammar the engine's parser accepts) or prose; media spans
+carry a raster tile ref. Generation is pure column arithmetic on
+spark.range(n) — fully distributed, seedless-deterministic (a pure
+function of doc_id), so any two cluster sizes produce identical data.
+
+The derivation formulas are intentionally simple integer arithmetic so
+an external oracle (DuckDB SQL) can re-derive the same values exactly.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# point derivations (doubles exact in IEEE: integer ops then /200.0 - const)
+PX_EXPR = "((id * 7919) % 71989) / 200.0 - 179.97"
+PY_EXPR = "((id * 104729) % 35993) / 200.0 - 89.97"
+
+
+def _wkt_expr() -> str:
+    """WKT payload per doc: mostly POINT, some ENVELOPE / BUFFER / POLYGON."""
+    return f"""
+    CASE
+      WHEN id % 13 = 0 THEN
+        concat('POLYGON((',
+          cast({PX_EXPR} as string), ' ', cast(greatest(-89.0, {PY_EXPR} - 2.0) as string), ', ',
+          cast(least(179.97, {PX_EXPR} + 3.0) as string), ' ', cast(greatest(-89.0, {PY_EXPR} - 2.0) as string), ', ',
+          cast(least(179.97, {PX_EXPR} + 1.5) as string), ' ', cast(least(89.0, {PY_EXPR} + 2.5) as string), ', ',
+          cast({PX_EXPR} as string), ' ', cast(greatest(-89.0, {PY_EXPR} - 2.0) as string), '))')
+      WHEN id % 7 = 0 THEN
+        concat('ENVELOPE (', cast({PX_EXPR} as string), ', ',
+               cast(least(179.98, {PX_EXPR} + 2.0) as string), ', ',
+               cast(least(89.9, {PY_EXPR} + 1.0) as string), ', ',
+               cast({PY_EXPR} as string), ')')
+      WHEN id % 5 = 0 THEN
+        concat('BUFFER(POINT(', cast({PX_EXPR} as string), ' ',
+               cast({PY_EXPR} as string), '), ',
+               cast(0.5 + (id % 40) / 10.0 as string), ')')
+      ELSE concat('POINT (', cast({PX_EXPR} as string), ' ',
+                  cast({PY_EXPR} as string), ')')
+    END
+    """
+
+
+def generate_docs(spark: SparkSession, n_docs: int, n_partitions: int | None = None) -> DataFrame:
+    """Build the interleaved docs DataFrame (not yet written)."""
+    if n_partitions is None:
+        n_partitions = max(8, min(1024, n_docs // 50_000 or 8))
+    base = spark.range(0, n_docs, 1, n_partitions)
+    prose = F.expr("concat('synthetic document ', cast(id as string), "
+                   "' about tiles and joins lorem ipsum ', "
+                   "cast(id % 97 as string))")
+    wkt = F.expr(_wkt_expr())
+    media_ref = F.expr("concat('raster://tile/', cast(id % 1024 as string))")
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"), prose.alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(0).alias("offset")),
+        F.struct(F.lit("text").alias("kind"), wkt.alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(1).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+                 media_ref.alias("media_ref"), F.lit(2).alias("offset")),
+    )
+    return base.select(
+        F.format_string("doc-%012d", F.col("id")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+
+
+def write_docs(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write the docs table. Parquet dir layout (Iceberg-shaped: swap the
+    writer for `df.writeTo(table)` on a cluster with an Iceberg catalog;
+    nothing else changes)."""
+    df.write.mode(mode).parquet(path)
+
+
+def read_docs(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def extract_geo_spans(docs: DataFrame) -> DataFrame:
+    """docs -> one row per WKT-bearing text span, with the parsed shape.
+
+    posexplode preserves span order; span-sequence equality back to the
+    source doc is checked by tests/test_span_invariant.py.
+    """
+    from .. import functions as SF
+    span = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+                .where((F.col("span.kind") == "text")
+                       & F.col("span.text").rlike(
+                           "^ *(POINT|ENVELOPE|BUFFER|POLYGON|MULTIPOLYGON|"
+                           "LINESTRING|MULTILINESTRING|MULTIPOINT|GEOMETRYCOLLECTION)")))
+    return (span.withColumn("shape", SF.st_from_wkt(F.col("span.text")))
+                .where(F.col("shape.error").isNull()))
