@@ -1,0 +1,586 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Every operator exposed in __spark_entry__.queries() lives here with a
+matching ANSI-SQL oracle in oracle_sql(). Geo inputs are derived
+DETERMINISTICALLY from the driver's TPC-H-ish tables with pure integer/
+double arithmetic written once and evaluated identically by Spark SQL
+and DuckDB (both IEEE-754 doubles; +,-,*,/,% and comparisons are
+correctly rounded in both). The Spark side always runs the ENGINE path
+(pandas-UDF kernels / distributed joins); the oracle re-derives the
+expected answer relationally.
+
+Column names are aliased identically on both sides (driver hashes
+values over name-sorted columns).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared derivations (valid in BOTH Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+# NOTE: every fragment starts its double chain with cast(... as double) —
+# Spark parses bare `200.0` as DECIMAL (exact math) while DuckDB uses
+# DOUBLE; the cast makes both engines run the identical IEEE-754 ops.
+
+# points from customer
+PX = "(((c_custkey * 7919) % 71989) / cast(200.0 as double) - 179.97)"
+PY = "(((c_custkey * 104729) % 35993) / cast(200.0 as double) - 89.97)"
+
+# dateline-capable rects from nation
+NCX = "(((n_nationkey * 48271) % 70000) / cast(200.0 as double) - 175.0)"
+NCY = "(((n_nationkey * 16807) % 28000) / cast(200.0 as double) - 70.0)"
+NW = "(cast(4.0 as double) + (n_nationkey * 31) % 60)"
+NH = "(cast(3.0 as double) + (n_nationkey * 17) % 30)"
+NMINX = f"(CASE WHEN {NCX} - {NW}/2.0 < -180.0 THEN {NCX} - {NW}/2.0 + 360.0 ELSE {NCX} - {NW}/2.0 END)"
+NMAXX = f"(CASE WHEN {NCX} + {NW}/2.0 > 180.0 THEN {NCX} + {NW}/2.0 - 360.0 ELSE {NCX} + {NW}/2.0 END)"
+NMINY = f"greatest(-90.0, {NCY} - {NH}/2.0)"
+NMAXY = f"least(90.0, {NCY} + {NH}/2.0)"
+
+# dateline-capable rects from supplier
+RCX = "(((s_suppkey * 48271) % 70000) / cast(200.0 as double) - 175.0)"
+RCY = "(((s_suppkey * 16807) % 28000) / cast(200.0 as double) - 70.0)"
+RW = "(cast(10.0 as double) + (s_suppkey * 13) % 80)"
+RH = "(cast(5.0 as double) + (s_suppkey * 11) % 40)"
+RMINX = f"(CASE WHEN {RCX} - {RW}/2.0 < -180.0 THEN {RCX} - {RW}/2.0 + 360.0 ELSE {RCX} - {RW}/2.0 END)"
+RMAXX = f"(CASE WHEN {RCX} + {RW}/2.0 > 180.0 THEN {RCX} + {RW}/2.0 - 360.0 ELSE {RCX} + {RW}/2.0 END)"
+RMINY = f"greatest(-90.0, {RCY} - {RH}/2.0)"
+RMAXY = f"least(90.0, {RCY} + {RH}/2.0)"
+
+# pole/dateline-free circles from supplier (for the SQL-expressible
+# circle-relate oracle: |cy| + r < 82, |cx| + deltaLon < 179)
+SCX = "(((s_suppkey * 7907) % 52000) / cast(200.0 as double) - 130.0)"
+SCY = "(((s_suppkey * 7919) % 24000) / cast(200.0 as double) - 60.0)"
+SR = "(cast(2.0 as double) + ((s_suppkey * 104729) % 2000) / cast(100.0 as double))"
+
+# pole/dateline-free rects from nation (counterpart of the circle oracle)
+N2CX = "(((n_nationkey * 37 + 11) % 50000) / cast(200.0 as double) - 125.0)"
+N2CY = "(((n_nationkey * 53 + 7) % 26000) / cast(200.0 as double) - 65.0)"
+N2W = "(cast(4.0 as double) + (n_nationkey * 23) % 40)"
+N2H = "(cast(3.0 as double) + (n_nationkey * 29) % 24)"
+N2MINX = f"({N2CX} - {N2W}/2.0)"
+N2MAXX = f"({N2CX} + {N2W}/2.0)"
+N2MINY = f"greatest(-88.0, {N2CY} - {N2H}/2.0)"
+N2MAXY = f"least(88.0, {N2CY} + {N2H}/2.0)"
+
+
+def _hav(x1, y1, x2, y2):
+    """Haversine distance in degrees — SQL mirror of
+    DistanceUtils.DistHaversineRAD (DistanceUtils.cs:502-514) incl. the
+    same-position shortcut."""
+    return f"""(CASE WHEN {x1} = {x2} AND {y1} = {y2} THEN 0.0 ELSE
+      degrees(2.0 * atan2(
+        sqrt(  pow(sin((radians({y1}) - radians({y2})) * 0.5), 2)
+             + cos(radians({y1})) * cos(radians({y2}))
+               * pow(sin((radians({x1}) - radians({x2})) * 0.5), 2)),
+        sqrt(1.0 - (pow(sin((radians({y1}) - radians({y2})) * 0.5), 2)
+             + cos(radians({y1})) * cos(radians({y2}))
+               * pow(sin((radians({x1}) - radians({x2})) * 0.5), 2)))))
+      END)"""
+
+
+def _vin(x1, y1, x2, y2):
+    """Vincenty-sphere distance in degrees (DistanceUtils.cs:564-583)."""
+    a = f"(cos(radians({y2})) * sin(radians({x2}) - radians({x1})))"
+    b = (f"(cos(radians({y1})) * sin(radians({y2})) - "
+         f"sin(radians({y1})) * cos(radians({y2})) * cos(radians({x2}) - radians({x1})))")
+    c = (f"(sin(radians({y1})) * sin(radians({y2})) + "
+         f"cos(radians({y1})) * cos(radians({y2})) * cos(radians({x2}) - radians({x1})))")
+    return (f"(CASE WHEN {x1} = {x2} AND {y1} = {y2} THEN 0.0 ELSE "
+            f"degrees(atan2(sqrt({a}*{a} + {b}*{b}), {c})) END)")
+
+
+def _rr(imin, imax, emin, emax):
+    """Interval relate (RectangleImpl.Relate_Range :234-252) as SQL."""
+    return f"""(CASE
+      WHEN {emin} > {imax} OR {emax} < {imin} THEN 3
+      WHEN {emin} >= {imin} AND {emax} <= {imax} THEN 2
+      WHEN {emin} <= {imin} AND {emax} >= {imax} THEN 1
+      ELSE 4 END)"""
+
+
+def _rect_contains_point_sql(minx, maxx, miny, maxy, px, py):
+    """RectangleImpl.Relate(point)==CONTAINS as a SQL predicate (geo,
+    dateline-aware; :176-209)."""
+    maxx_u = f"(CASE WHEN {maxx} < {minx} THEN {maxx} + 360.0 ELSE {maxx} END)"
+    px_adj = (f"(CASE WHEN {px} < {minx} THEN {px} + 360.0 "
+              f"WHEN {px} > {maxx_u} THEN {px} - 360.0 ELSE {px} END)")
+    return (f"({py} <= {maxy} AND {py} >= {miny} AND "
+            f"{px_adj} >= {minx} AND {px_adj} <= {maxx_u})")
+
+
+def _relate_x_range_sql(aminx, amaxx, bminx, bmaxx):
+    """RectangleImpl.RelateXRange (:259-297) as SQL (geo)."""
+    araw = f"({amaxx} - {aminx})"
+    braw = f"({bmaxx} - {bminx})"
+    a2 = f"(CASE WHEN {araw} < 0 THEN {aminx} + {araw} + 360.0 ELSE {amaxx} END)"
+    b2 = f"(CASE WHEN {braw} < 0 THEN {bminx} + {braw} + 360.0 ELSE {bmaxx} END)"
+    shift_a = f"({a2} < {bminx})"
+    shift_b = f"(NOT {shift_a} AND {b2} < {aminx})"
+    xa1 = f"(CASE WHEN {shift_a} THEN {aminx} + 360.0 ELSE {aminx} END)"
+    xa2 = f"(CASE WHEN {shift_a} THEN {a2} + 360.0 ELSE {a2} END)"
+    xb1 = f"(CASE WHEN {shift_b} THEN {bminx} + 360.0 ELSE {bminx} END)"
+    xb2 = f"(CASE WHEN {shift_b} THEN {b2} + 360.0 ELSE {b2} END)"
+    return f"""(CASE
+      WHEN {araw} = 360.0 THEN 2
+      WHEN {braw} = 360.0 THEN 1
+      ELSE {_rr(xa1, xa2, xb1, xb2)} END)"""
+
+
+def _relate_rect_rect_sql(aminx, amaxx, aminy, amaxy, bminx, bmaxx, bminy, bmaxy):
+    """RectangleImpl.Relate(rect) (:211-231) as SQL (geo)."""
+    yrel = _rr(aminy, amaxy, bminy, bmaxy)
+    xrel = _relate_x_range_sql(aminx, amaxx, bminx, bmaxx)
+    return f"""(CASE
+      WHEN {yrel} = 3 THEN 3
+      WHEN {xrel} = 3 THEN 3
+      WHEN {xrel} = {yrel} THEN {xrel}
+      WHEN {aminx} = {bminx} AND {amaxx} = {bmaxx} THEN {yrel}
+      WHEN {aminy} = {bminy} AND {amaxy} = {bmaxy} THEN {xrel}
+      ELSE 4 END)"""
+
+
+def _circle_relate_rect_sql(cx, cy, r, rminx, rmaxx, rminy, rmaxy):
+    """GeoCircle.Relate(rect) as SQL, valid for pole/dateline-free
+    inputs (radius < 90): phase 1 bbox gate (CircleImpl.cs:127-141) +
+    phase 2 closest/farthest-corner logic (:143-223) with the
+    horizontal-axis latitude (GeoCircle.cs:80-95)."""
+    dl = f"degrees(asin(sin(radians({r})) / cos(radians({cy}))))"
+    bminx, bmaxx = f"({cx} - {dl})", f"({cx} + {dl})"
+    bminy, bmaxy = f"({cy} - {r})", f"({cy} + {r})"
+    bbox_rel = _relate_rect_rect_sql(bminx, bmaxx, bminy, bmaxy,
+                                     rminx, rmaxx, rminy, rmaxy)
+    identity = (f"({bminx} = {rminx} AND {bmaxx} = {rmaxx} AND "
+                f"{bminy} = {rminy} AND {bmaxy} = {rmaxy})")
+    h0 = f"degrees(asin(sin(radians({cy})) / cos(radians({r}))))"
+    horiz = f"least(greatest({h0}, {bminy}), {bmaxy})"
+    closest_x = f"(CASE WHEN {cx} < {rminx} THEN {rminx} WHEN {cx} > {rmaxx} THEN {rmaxx} ELSE {cx} END)"
+    farthest_x = (f"(CASE WHEN {cx} < {rminx} THEN {rmaxx} WHEN {cx} > {rmaxx} THEN {rminx} "
+                  f"ELSE (CASE WHEN {rmaxx} - {cx} > {cx} - {rminx} THEN {rmaxx} ELSE {rminx} END) END)")
+    closest_y = f"(CASE WHEN {horiz} < {rminy} THEN {rminy} WHEN {horiz} > {rmaxy} THEN {rmaxy} ELSE {horiz} END)"
+    farthest_y = (f"(CASE WHEN {horiz} < {rminy} THEN {rmaxy} WHEN {horiz} > {rmaxy} THEN {rminy} "
+                  f"ELSE (CASE WHEN {rmaxy} - {horiz} > {horiz} - {rminy} THEN {rmaxy} ELSE {rminy} END) END)")
+    other_y = f"(CASE WHEN {farthest_y} = {rmaxy} THEN {rminy} ELSE {rmaxy} END)"
+    c_closest = f"({_hav(cx, cy, closest_x, closest_y)} <= {r})"
+    c_farthest = f"({_hav(cx, cy, farthest_x, farthest_y)} <= {r})"
+    c_other = f"({_hav(cx, cy, farthest_x, other_y)} <= {r})"
+    spans_y = f"({horiz} >= {rminy} AND {horiz} <= {rmaxy})"
+    disjoint_cond = (f"({cx} <> {closest_x} AND {horiz} <> {closest_y} "
+                     f"AND NOT {c_closest})")
+    geo_extra = (f"({cy} <> {horiz} AND {spans_y} AND NOT {c_other})")
+    return f"""(CASE
+      WHEN {bbox_rel} = 3 THEN 3
+      WHEN {bbox_rel} = 1 THEN 1
+      WHEN {bbox_rel} = 2 AND {identity} THEN 1
+      WHEN {disjoint_cond} THEN 3
+      WHEN {bbox_rel} <> 2 THEN 4
+      WHEN NOT {c_farthest} THEN 4
+      WHEN {geo_extra} THEN 4
+      ELSE 2 END)"""
+
+
+# ---------------------------------------------------------------------------
+# geohash closed forms (bisection-consistent: idx = ceil(v)-1, clamped)
+# ---------------------------------------------------------------------------
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _lon_idx_sql(x, bits):
+    n = 1 << bits
+    v = f"(({x} + 180.0) / 360.0 * {float(n)})"
+    return f"least({n - 1}, greatest(0, CAST(ceil({v}) AS BIGINT) - 1))"
+
+
+def _lat_idx_sql(y, bits):
+    n = 1 << bits
+    v = f"(({y} + 90.0) / 180.0 * {float(n)})"
+    return f"least({n - 1}, greatest(0, CAST(ceil({v}) AS BIGINT) - 1))"
+
+
+def _interleave_sql(lon_idx, lat_idx, precision):
+    """Build the geohash string from integer cell indices in SQL —
+    mirrors kernels.geohash.indices_to_hash bit-for-bit."""
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    terms = []
+    li, ti = lon_bits, lat_bits
+    for b in range(nbits):
+        pos = nbits - 1 - b  # bit position in the final code
+        if b % 2 == 0:
+            li -= 1
+            terms.append(f"((({lon_idx}) >> {li}) & 1) * {1 << pos}")
+        else:
+            ti -= 1
+            terms.append(f"((({lat_idx}) >> {ti}) & 1) * {1 << pos}")
+    code = "(" + " + ".join(terms) + ")"
+    chars = []
+    for c in range(precision):
+        shift = nbits - 5 * (c + 1)
+        chars.append(f"substring('{_B32}', CAST((({code} >> {shift}) & 31) AS INT) + 1, 1)")
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash_sql(x, y, precision):
+    nbits = precision * 5
+    return _interleave_sql(_lon_idx_sql(x, (nbits + 1) // 2),
+                           _lat_idx_sql(y, nbits // 2), precision)
+
+
+# ---------------------------------------------------------------------------
+# derived Spark inputs
+# ---------------------------------------------------------------------------
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{PX} AS x", f"{PY} AS y")
+
+
+def _rect_shape_struct():
+    """shape struct column for a rect (minx/maxx/miny/maxy columns)."""
+    return F.expr(
+        "named_struct('kind', cast(2 as tinyint),"
+        " 'x', cast(null as double), 'y', cast(null as double),"
+        " 'radius', cast(null as double),"
+        " 'minx', minx, 'maxx', maxx, 'miny', miny, 'maxy', maxy,"
+        " 'xs', cast(null as array<double>), 'ys', cast(null as array<double>),"
+        " 'ring_offsets', cast(null as array<int>), 'error', cast(null as string))")
+
+
+def nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_load(spark, sf_dir, "nation")
+            .selectExpr("n_nationkey AS rect_id", f"{NMINX} AS minx", f"{NMAXX} AS maxx",
+                        f"{NMINY} AS miny", f"{NMAXY} AS maxy")
+            .withColumn("shape", _rect_shape_struct()))
+
+
+def supplier_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_load(spark, sf_dir, "supplier")
+            .selectExpr("s_suppkey AS srect_id", f"{RMINX} AS sminx", f"{RMAXX} AS smaxx",
+                        f"{RMINY} AS sminy", f"{RMAXY} AS smaxy"))
+
+
+def supplier_circles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS circle_id", f"{SCX} AS cx", f"{SCY} AS cy", f"{SR} AS r")
+
+
+def nation_plain_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS rect_id", f"{N2MINX} AS minx", f"{N2MAXX} AS maxx",
+        f"{N2MINY} AS miny", f"{N2MAXY} AS maxy")
+
+
+# oracle-side derived tables as CTEs
+_CTE_POINTS = f"pts AS (SELECT c_custkey, {PX} AS x, {PY} AS y FROM customer)"
+_CTE_NRECTS = (f"nrects AS (SELECT n_nationkey AS rect_id, {NMINX} AS minx, "
+               f"{NMAXX} AS maxx, {NMINY} AS miny, {NMAXY} AS maxy FROM nation)")
+_CTE_SRECTS = (f"srects AS (SELECT s_suppkey AS srect_id, {RMINX} AS sminx, "
+               f"{RMAXX} AS smaxx, {RMINY} AS sminy, {RMAXY} AS smaxy FROM supplier)")
+_CTE_CIRCLES = (f"circles AS (SELECT s_suppkey AS circle_id, {SCX} AS cx, "
+                f"{SCY} AS cy, {SR} AS r FROM supplier)")
+_CTE_N2RECTS = (f"n2rects AS (SELECT n_nationkey AS rect_id, {N2MINX} AS minx, "
+                f"{N2MAXX} AS maxx, {N2MINY} AS miny, {N2MAXY} AS maxy FROM nation)")
+
+
+# ---------------------------------------------------------------------------
+# queries (engine path) + oracles
+# ---------------------------------------------------------------------------
+
+def q_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed point-in-rectangle spatial join (cell-index coarse +
+    dateline-aware kernel refine), incl. dateline-crossing rects."""
+    from .operators.joins import point_in_shape_join
+    from .plans.strategy import plan_point_shape_join
+    pts = customer_points(spark, sf_dir)
+    rects = nation_rects(spark, sf_dir)
+    plan = plan_point_shape_join(10_000_000, 25, 34.0, 18.0)
+    out = point_in_shape_join(pts, rects, plan)
+    return out.select("c_custkey", "rect_id", "x", "y")
+
+
+ORACLE_PIP_RECT = f"""
+WITH {_CTE_POINTS}, {_CTE_NRECTS}
+SELECT c_custkey, rect_id, x, y
+FROM pts CROSS JOIN nrects
+WHERE {_rect_contains_point_sql('minx', 'maxx', 'miny', 'maxy', 'x', 'y')}
+"""
+
+
+def q_rect_rect_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 4-verdict rect-rect relate (dateline-aware) over nation x
+    supplier rect sets, via the vectorized kernel."""
+    from . import functions as SF
+    n = nation_rects(spark, sf_dir).select("rect_id", "minx", "maxx", "miny", "maxy")
+    s = supplier_rects(spark, sf_dir)
+    j = n.crossJoin(s)
+    rel = SF.st_relate_rect_rect(F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"),
+                                 F.col("sminx"), F.col("smaxx"), F.col("sminy"), F.col("smaxy"))
+    return j.select("rect_id", "srect_id", rel.cast("int").alias("relation"))
+
+
+ORACLE_RECT_RECT = f"""
+WITH {_CTE_NRECTS}, {_CTE_SRECTS}
+SELECT rect_id, srect_id,
+  {_relate_rect_rect_sql('minx', 'maxx', 'miny', 'maxy',
+                         'sminx', 'smaxx', 'sminy', 'smaxy')} AS relation
+FROM nrects CROSS JOIN srects
+"""
+
+
+def q_circle_rect_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoCircle.Relate(rect) over supplier circles x plain nation rects
+    via the full spherical kernel (bbox phase + corner phase)."""
+    from . import functions as SF
+    c = supplier_circles(spark, sf_dir)
+    r = nation_plain_rects(spark, sf_dir)
+    j = c.crossJoin(r)
+    rel = SF.st_relate_circle_rect(F.col("cx"), F.col("cy"), F.col("r"),
+                                   F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"))
+    return j.select("circle_id", "rect_id", rel.cast("int").alias("relation"))
+
+
+ORACLE_CIRCLE_RECT = f"""
+WITH {_CTE_CIRCLES}, {_CTE_N2RECTS}
+SELECT circle_id, rect_id,
+  {_circle_relate_rect_sql('cx', 'cy', 'r', 'minx', 'maxx', 'miny', 'maxy')} AS relation
+FROM circles CROSS JOIN n2rects
+"""
+
+
+def q_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distances (km, exact reference formula) for bounded
+    pairs, rounded for cross-libm comparison."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir).where("c_custkey % 10 = 0")
+    c = supplier_circles(spark, sf_dir)
+    j = pts.crossJoin(c)
+    dist = SF.st_distance_km(F.col("x"), F.col("y"), F.col("cx"), F.col("cy"))
+    return (j.withColumn("dist_km", F.round(dist, 4))
+             .where(F.col("dist_km") < 3000.0)
+             .select("c_custkey", "circle_id", "dist_km"))
+
+
+ORACLE_DISTANCE = f"""
+WITH {_CTE_POINTS}, {_CTE_CIRCLES}
+SELECT c_custkey, circle_id,
+       round({_hav('x', 'y', 'cx', 'cy')} * (pi() / 180.0 * 6371.0087714), 4) AS dist_km
+FROM pts CROSS JOIN circles
+WHERE c_custkey % 10 = 0
+  AND round({_hav('x', 'y', 'cx', 'cy')} * (pi() / 180.0 * 6371.0087714), 4) < 3000.0
+"""
+
+
+def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed distance join (circle-bbox cover -> cell equi-join ->
+    exact refine) with per-row radius."""
+    from .operators.joins import distance_join
+    from .plans.strategy import JoinPlan
+    pts = customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "point_id")
+    qs = supplier_circles(spark, sf_dir).selectExpr(
+        "circle_id AS query_id", "cx AS qx", "cy AS qy", "r AS qr")
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None, max_cover_cells=4096)
+    out = distance_join(pts, qs, F.col("qr"), plan)
+    return out.select(F.col("point_id").alias("c_custkey"),
+                      F.col("query_id").alias("circle_id"))
+
+
+ORACLE_DWITHIN = f"""
+WITH {_CTE_POINTS}, {_CTE_CIRCLES}
+SELECT c_custkey, circle_id
+FROM pts CROSS JOIN circles
+WHERE {_hav('x', 'y', 'cx', 'cy')} <= r
+"""
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius kNN: haversine candidate filter, exact Vincenty
+    re-rank, row_number window; deterministic tie-break."""
+    from .operators.joins import knn_join
+    from .plans.strategy import JoinPlan
+    pts = customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "point_id")
+    qs = supplier_circles(spark, sf_dir).selectExpr(
+        "circle_id AS query_id", "cx AS qx", "cy AS qy")
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None, max_cover_cells=4096)
+    out = knn_join(pts, qs, k=5, radius_deg=60.0, plan=plan,
+                   query_id="query_id", tie_break="point_id")
+    return out.select(F.col("query_id").alias("circle_id"),
+                      F.col("point_id").alias("c_custkey"),
+                      F.col("knn_rank").cast("int").alias("knn_rank"))
+
+
+ORACLE_KNN = f"""
+WITH {_CTE_POINTS}, {_CTE_CIRCLES},
+cand AS (
+  SELECT circle_id, c_custkey, {_vin('x', 'y', 'cx', 'cy')} AS dv
+  FROM pts CROSS JOIN circles
+  WHERE {_hav('x', 'y', 'cx', 'cy')} <= 60.0
+)
+SELECT circle_id, c_custkey,
+       CAST(row_number() OVER (PARTITION BY circle_id ORDER BY dv, c_custkey) AS INT) AS knn_rank
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY circle_id ORDER BY dv, c_custkey) <= 5
+"""
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment: geohash cell at precision 5 + parent rollup cell
+    (prefix truncation) at precision 2."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir)
+    return (pts.withColumn("cell", SF.st_cell(F.col("y"), F.col("x"), 5))
+               .withColumn("cell2", F.substring("cell", 1, 2))
+               .select("c_custkey", "cell", "cell2"))
+
+
+ORACLE_TILE = f"""
+WITH {_CTE_POINTS},
+idx AS (
+  SELECT c_custkey,
+         {_lon_idx_sql('x', 13)} AS li,
+         {_lat_idx_sql('y', 12)} AS ti
+  FROM pts
+)
+SELECT c_custkey,
+       {_interleave_sql('li', 'ti', 5)} AS cell,
+       substring({_interleave_sql('li', 'ti', 5)}, 1, 2) AS cell2
+FROM idx
+"""
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-parent-cell counts: groupBy on the precision-2 prefix (the
+    hierarchical rollup geohash makes free)."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir)
+    return (pts.withColumn("cell", SF.st_cell(F.col("y"), F.col("x"), 5))
+               .groupBy(F.substring("cell", 1, 2).alias("cell2"))
+               .agg(F.count("*").alias("cnt")))
+
+
+ORACLE_ROLLUP = f"""
+WITH {_CTE_POINTS},
+idx AS (
+  SELECT {_lon_idx_sql('x', 13)} AS li, {_lat_idx_sql('y', 12)} AS ti FROM pts
+)
+SELECT substring({_interleave_sql('li', 'ti', 5)}, 1, 2) AS cell2,
+       count(*) AS cnt
+FROM idx GROUP BY 1
+"""
+
+
+def q_cover_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile cover of (dateline-capable) rects at precision 3."""
+    from .operators.joins import with_shape_cover
+    rects = nation_rects(spark, sf_dir)
+    return (with_shape_cover(rects, "shape", 3, "cell")
+            .select("rect_id", "cell"))
+
+
+ORACLE_COVER = f"""
+WITH {_CTE_NRECTS},
+idx AS (
+  SELECT rect_id,
+         {_lon_idx_sql('minx', 8)} AS il0, {_lon_idx_sql('maxx', 8)} AS il1,
+         {_lat_idx_sql('miny', 7)} AS it0, {_lat_idx_sql('maxy', 7)} AS it1
+  FROM nrects
+),
+lons AS (
+  SELECT rect_id, it0, it1, unnest(CASE WHEN il0 <= il1 THEN range(il0, il1 + 1)
+              ELSE list_concat(range(il0, 256), range(0, il1 + 1)) END) AS li
+  FROM idx
+),
+grid AS (
+  SELECT rect_id, li, unnest(range(it0, it1 + 1)) AS ti FROM lons
+)
+SELECT rect_id, {_interleave_sql('li', 'ti', 3)} AS cell FROM grid
+"""
+
+
+def q_wkt_point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build WKT POINT strings in SQL, parse with the engine's WKT
+    kernel, return the parsed coords (exact round-trip — Java
+    double->string is shortest-roundtrip)."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir)
+    wkt = F.expr("concat('POINT (', cast(x as string), ' ', cast(y as string), ')')")
+    parsed = pts.withColumn("shape", SF.st_from_wkt(wkt))
+    return parsed.select("c_custkey",
+                         F.col("shape.x").alias("px"),
+                         F.col("shape.y").alias("py"),
+                         F.col("shape.kind").cast("int").alias("kind"))
+
+
+ORACLE_WKT_POINT = f"""
+WITH {_CTE_POINTS}
+SELECT c_custkey, x AS px, y AS py, 1 AS kind FROM pts
+"""
+
+
+def q_wkt_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENVELOPE parse honoring the odd CQL arg order (x1, x2, maxY, minY)."""
+    from . import functions as SF
+    r = nation_plain_rects(spark, sf_dir)
+    wkt = F.expr("concat('ENVELOPE (', cast(minx as string), ', ', cast(maxx as string), "
+                 "', ', cast(maxy as string), ', ', cast(miny as string), ')')")
+    parsed = r.withColumn("shape", SF.st_from_wkt(wkt))
+    return parsed.select("rect_id",
+                         F.col("shape.minx").alias("pminx"),
+                         F.col("shape.maxx").alias("pmaxx"),
+                         F.col("shape.miny").alias("pminy"),
+                         F.col("shape.maxy").alias("pmaxy"))
+
+
+ORACLE_WKT_ENVELOPE = f"""
+WITH {_CTE_N2RECTS}
+SELECT rect_id, minx AS pminx, maxx AS pmaxx, miny AS pminy, maxy AS pmaxy FROM n2rects
+"""
+
+
+def q_polygon_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-POLYGON join: triangles built as WKT, parsed by the
+    engine, PIP via the even-odd kernel through the cell join."""
+    from . import functions as SF
+    from .operators.joins import point_in_shape_join
+    from .plans.strategy import JoinPlan
+    tri = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS poly_id",
+        f"{SCX} AS x1t", f"({SCY} - 10.0) AS y1t",
+        f"({SCX} + 24.0) AS x2t", f"({SCY} - 10.0) AS y2t",
+        f"({SCX} + 12.0) AS x3t", f"({SCY} + 14.0) AS y3t")
+    wkt = F.expr("concat('POLYGON((', cast(x1t as string), ' ', cast(y1t as string), ', ',"
+                 " cast(x2t as string), ' ', cast(y2t as string), ', ',"
+                 " cast(x3t as string), ' ', cast(y3t as string), ', ',"
+                 " cast(x1t as string), ' ', cast(y1t as string), '))')")
+    polys = tri.withColumn("shape", SF.st_from_wkt(wkt)).select("poly_id", "shape")
+    pts = customer_points(spark, sf_dir)
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None, max_cover_cells=4096)
+    out = point_in_shape_join(pts, polys, plan)
+    return out.select("c_custkey", "poly_id")
+
+
+# convex-triangle PIP: three half-plane sign tests with boundary
+# counting as inside (COVERS) — CCW orientation by construction
+ORACLE_POLYGON_PIP = f"""
+WITH {_CTE_POINTS},
+tri AS (
+  SELECT s_suppkey AS poly_id,
+         {SCX} AS x1t, ({SCY} - 10.0) AS y1t,
+         ({SCX} + 24.0) AS x2t, ({SCY} - 10.0) AS y2t,
+         ({SCX} + 12.0) AS x3t, ({SCY} + 14.0) AS y3t
+  FROM supplier
+)
+SELECT c_custkey, poly_id
+FROM pts CROSS JOIN tri
+WHERE ((x2t - x1t) * (y - y1t) - (y2t - y1t) * (x - x1t)) >= 0
+  AND ((x3t - x2t) * (y - y2t) - (y3t - y2t) * (x - x2t)) >= 0
+  AND ((x1t - x3t) * (y - y3t) - (y1t - y3t) * (x - x3t)) >= 0
+"""
+
