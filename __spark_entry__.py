@@ -49,6 +49,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- WKT codec ---
         "wkt_point_roundtrip": c.q_wkt_point_roundtrip,
         "wkt_envelope_parse": c.q_wkt_envelope_parse,
+        # --- interleaved-span invariant ---
+        "span_integrity": c.q_span_integrity,
+        # --- training-data ops: dedup ---
+        "dedup_exact": c.q_dedup_exact,
+        "ngram_jaccard": c.q_ngram_jaccard,
+        "minhash_lsh_pairs": c.q_minhash_lsh_pairs,
+        "simhash": c.q_simhash,
+        # --- training-data ops: text analysis ---
+        "token_stats": c.q_token_stats,
+        "text_quality": c.q_text_quality,
+        "lang_guess": c.q_lang_guess,
+        "fingerprint": c.q_fingerprint,
+        # --- similarity search ---
+        "embed_knn": c.q_embed_knn,
+        "embed_lsh_bucket": c.q_embed_lsh_bucket,
+        # --- raster<->vector ---
+        "zonal_stats": c.q_zonal_stats,
+        # --- relational coverage ---
+        "tpch_pricing_summary": c.q_tpch_pricing_summary,
+        "events_sessionize": c.q_events_sessionize,
     }
 
 
@@ -67,4 +87,18 @@ def oracle_sql() -> dict[str, str]:
         "cover_cells": c.ORACLE_COVER,
         "wkt_point_roundtrip": c.ORACLE_WKT_POINT,
         "wkt_envelope_parse": c.ORACLE_WKT_ENVELOPE,
+        "span_integrity": c.ORACLE_SPAN,
+        "dedup_exact": c.ORACLE_DEDUP_EXACT,
+        "ngram_jaccard": c.ORACLE_NGRAM_JACCARD,
+        "minhash_lsh_pairs": c.ORACLE_MINHASH_LSH,
+        "simhash": c.ORACLE_SIMHASH,
+        "token_stats": c.ORACLE_TOKEN_STATS,
+        "text_quality": c.ORACLE_QUALITY,
+        "lang_guess": c.ORACLE_LANG,
+        "fingerprint": c.ORACLE_FINGERPRINT,
+        "embed_knn": c.ORACLE_EMBED_KNN,
+        "embed_lsh_bucket": c.ORACLE_EMBED_LSH,
+        "zonal_stats": c.ORACLE_ZONAL,
+        "tpch_pricing_summary": c.ORACLE_TPCH_Q1,
+        "events_sessionize": c.ORACLE_EVENTS,
     }

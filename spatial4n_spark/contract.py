@@ -566,6 +566,359 @@ def q_polygon_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "poly_id")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    return exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), n=3)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i + 1] || ' ' ||
+                string_split(text, ' ')[i + 2])) AS s
+  FROM documents
+)
+SELECT a.doc_id AS doc_id,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_load(spark, sf_dir, "documents"),
+                             n_hashes=16, bands=4, shingle_n=2)
+
+
+def _ddb_minhash_cols(n_hashes: int = 16) -> str:
+    m = (1 << 61) - 1
+    wh = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+    cols = []
+    for k in range(n_hashes):
+        a = 2 * k + 1
+        b = (k * 40503 + 17) % 65536
+        cols.append(
+            f"list_aggregate(list_transform(sh, s -> ({a} * ({wh}) + {b}) % {m}), 'min') AS mh_{k}")
+    return ", ".join(cols)
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH sh0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS sh
+  FROM documents
+),
+sig AS (SELECT doc_id, {_ddb_minhash_cols(16)} FROM sh0),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('_', mh_0, mh_1, mh_2, mh_3)) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('_', mh_4, mh_5, mh_6, mh_7)) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, md5(concat_ws('_', mh_8, mh_9, mh_10, mh_11)) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, md5(concat_ws('_', mh_12, mh_13, mh_14, mh_15)) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_simhash
+    return with_simhash(_load(spark, sf_dir, "documents"), bits=16) \
+        .select("doc_id", "simhash")
+
+
+def _ddb_simhash(bits: int = 16) -> str:
+    wh = "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)"
+    terms = []
+    for b in range(bits):
+        s = (f"list_aggregate(list_transform(ws, w -> "
+             f"CASE WHEN (({wh}) >> {b}) % 2 = 1 THEN 1 ELSE -1 END), 'sum')")
+        terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+ORACLE_SIMHASH = f"""
+WITH ws0 AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+)
+SELECT doc_id, CAST({_ddb_simhash(16)} AS BIGINT) AS simhash FROM ws0
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_token_stats
+    return with_token_stats(_load(spark, sf_dir, "documents")) \
+        .select("doc_id", "n_tokens", "n_subtokens")
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(list_aggregate(list_transform(string_split(text, ' '),
+            w -> CASE WHEN length(w) <= 6 THEN 1
+                 ELSE CAST(ceil(length(w) / CAST(4.0 AS DOUBLE)) AS BIGINT) END),
+            'sum') AS BIGINT) AS n_subtokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_quality
+    return with_quality(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "q_len", "q_words", "q_mean_word_len",
+        "q_digit_ratio", "q_stopword_ratio")
+
+
+def _markers_sql():
+    from .operators.text import EN_MARKERS
+    return ", ".join(f"'{m}'" for m in EN_MARKERS)
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS q_len,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS q_words,
+  round((length(text) - len(string_split(text, ' ')) + 1)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS q_mean_word_len,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / CAST(length(text) AS DOUBLE), 6) AS q_digit_ratio,
+  round(len(list_filter(string_split(text, ' '), w -> w IN ({_markers_sql()})))
+        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS q_stopword_ratio
+FROM documents
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_lang_guess
+    return with_lang_guess(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "en_score", "lang_guess")
+
+
+ORACLE_LANG = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_markers_sql()}))) AS BIGINT)
+    AS en_score,
+  CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ({_markers_sql()}))) * 20
+            >= len(string_split(text, ' '))
+       THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_fingerprint
+    return with_fingerprint(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint")
+
+
+ORACLE_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           (w, i) -> (i * CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))
+                     % 2305843009213693951) AS terms
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_aggregate(terms, 'sum') % 2305843009213693951 AS BIGINT) AS fingerprint
+FROM t
+"""
+
+
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    from .operators.similarity import brute_force_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 10").selectExpr("vec_id AS q_id", "embedding AS q_embedding")
+    return brute_force_topk(emb, qs, k=5)
+
+
+ORACLE_EMBED_KNN = """
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))
+           AS cosine
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+)
+SELECT q_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT)
+         AS sim_rank,
+       round(cosine, 6) AS cosine_r
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 5
+"""
+
+
+def q_embed_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH hyperplane bucket assignment (the ANN partitioner)."""
+    from .operators.similarity import hyperplane_bucket_expr
+    emb = _load(spark, sf_dir, "embeddings")
+    return emb.withColumn("bucket", F.expr(hyperplane_bucket_expr("embedding", 8))) \
+              .select("vec_id", "bucket")
+
+
+def _ddb_bucket(n_planes: int = 8) -> str:
+    bits = []
+    for j in range(n_planes):
+        dot = (f"list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), "
+               f"(v, i) -> v * (CAST(({j} * 78233 + (i - 1) * 40503) % 1000003 AS DOUBLE)"
+               f" - 501001.0)), 'sum')")
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+ORACLE_EMBED_LSH = f"""
+SELECT vec_id, CAST({_ddb_bucket(8)} AS INT) AS bucket FROM embeddings
+"""
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector zonal stats over the synthetic tile set (decode
+    stub, real Spark plumbing)."""
+    from .operators.zonal import decode_raster_tiles, zonal_stats
+    refs = spark.range(0, 64).selectExpr(
+        "concat('raster://tile/', cast(id as string)) AS media_ref")
+    pixels = decode_raster_tiles(refs)
+    zones = nation_plain_rects(spark, sf_dir)
+    return zonal_stats(pixels, zones).select("rect_id", "px_count", "px_sum", "px_mean")
+
+
+ORACLE_ZONAL = f"""
+WITH {_CTE_N2RECTS},
+px AS (
+  SELECT t AS tile, i, j,
+         (t % 16) * 22.5 - 180.0 + (i + 0.5) * (22.5 / 16) AS px_lon,
+         CAST(t / 16 AS BIGINT) * 45.0 - 90.0 + (j + 0.5) * (45.0 / 16) AS px_lat,
+         (t * 31 + i * 7 + j * 13) % 255 AS value
+  FROM unnest(range(0, 64)) AS tt(t),
+       unnest(range(0, 16)) AS ii(i),
+       unnest(range(0, 16)) AS jj(j)
+)
+SELECT rect_id, count(*) AS px_count, sum(value) AS px_sum,
+       round(sum(value) / CAST(count(*) AS DOUBLE), 6) AS px_mean
+FROM px JOIN n2rects
+  ON px_lon >= minx AND px_lon <= maxx AND px_lat >= miny AND px_lat <= maxy
+GROUP BY rect_id
+"""
+
+
+def q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved span plumbing: build spans per doc, posexplode, and
+    return (kind, media_ref, offset) in order plus the WKT-parsed x —
+    the span-sequence-equality invariant surface."""
+    from . import functions as SF
+    docs = _load(spark, sf_dir, "documents")
+    dx = "(((doc_id * 7919) % 71989) / cast(200.0 as double) - 179.97)"
+    dy = "(((doc_id * 104729) % 35993) / cast(200.0 as double) - 89.97)"
+    spans = F.expr(f"""array(
+      named_struct('kind', 'text', 'text', concat('prose ', cast(doc_id as string)),
+                   'media_ref', cast(null as string), 'offset', 0),
+      named_struct('kind', 'text',
+                   'text', concat('POINT (', cast({dx} as string), ' ', cast({dy} as string), ')'),
+                   'media_ref', cast(null as string), 'offset', 1),
+      named_struct('kind', 'media', 'text', cast(null as string),
+                   'media_ref', concat('raster://tile/', cast(doc_id % 64 as string)),
+                   'offset', 2))""")
+    ex = (docs.withColumn("spans", spans)
+              .select("doc_id", F.posexplode("spans").alias("pos", "span")))
+    parsed = ex.withColumn(
+        "wkt_x",
+        F.when(F.col("pos") == 1,
+               SF.st_from_wkt(F.col("span.text"))["x"]).otherwise(F.lit(None)))
+    return parsed.select("doc_id",
+                         F.col("pos").cast("int").alias("pos"),
+                         F.col("span.kind").alias("kind"),
+                         F.col("span.media_ref").alias("media_ref"),
+                         F.col("span.offset").cast("int").alias("offset"),
+                         "wkt_x")
+
+
+ORACLE_SPAN = """
+SELECT doc_id, 0 AS pos, 'text' AS kind, CAST(NULL AS VARCHAR) AS media_ref,
+       0 AS offset, CAST(NULL AS DOUBLE) AS wkt_x
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'text', CAST(NULL AS VARCHAR), 1,
+       (((doc_id * 7919) % 71989) / CAST(200.0 AS DOUBLE) - 179.97)
+FROM documents
+UNION ALL
+SELECT doc_id, 2, 'media', 'raster://tile/' || CAST(doc_id % 64 AS VARCHAR), 2,
+       CAST(NULL AS DOUBLE)
+FROM documents
+"""
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational coverage demo (TPC-H Q1 shape): partial-agg-friendly
+    groupBy over lineitem."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (li.where("l_shipdate <= timestamp '1998-09-02 00:00:00'")
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                   F.round(F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 4)
+                    .alias("sum_disc_price"),
+                   F.count("*").alias("count_order")))
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: per-user event ordering + running value."""
+    ev = _load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("seq", F.row_number().over(w).cast("int"))
+              .withColumn("run_value", F.round(F.sum("value").over(w), 6))
+              .select("event_id", "user_id", "seq", "run_value"))
+
+
+ORACLE_EVENTS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 6) AS run_value
+FROM events
+"""
+
+
 # convex-triangle PIP: three half-plane sign tests with boundary
 # counting as inside (COVERS) — CCW orientation by construction
 ORACLE_POLYGON_PIP = f"""

@@ -1,0 +1,94 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash + LSH banding. Everything
+JVM-side; MinHash uses the SQL-portable md5-prefix word hash so the
+DuckDB oracle reproduces signatures exactly.
+
+Scale notes: exact dedup is one hash-aggregate shuffle on a 16-byte
+key; MinHash-LSH shuffles (band_id, band_hash) — bounded fanout
+n_bands per doc — then joins only within buckets, never all-pairs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import WORD_HASH
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> canonical id + group size."""
+    return (df.groupBy(F.md5(F.col(text)).alias("text_hash"))
+              .agg(F.min(id_col).alias("canonical_id"),
+                   F.count("*").alias("dup_count")))
+
+
+def shingles_expr(text: str = "text", n: int = 3) -> str:
+    """Distinct word n-gram shingles as a SQL expression."""
+    toks = f"split({text}, ' ')"
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    return (f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})))")
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Jaccard similarity of n-gram shingle sets for consecutive-id doc
+    pairs (a deterministic, oracle-friendly pair generator; swap in the
+    LSH candidate pairs for production sweeps)."""
+    sh = shingles_expr(text, n)
+    a = df.select(F.col(id_col).alias("id_a"), F.expr(sh).alias("sh_a"))
+    b = df.select((F.col(id_col) - 1).alias("id_a"), F.expr(sh).alias("sh_b"))
+    j = a.join(b, "id_a", "inner")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(F.col("id_a").alias("doc_id"),
+                    F.round(inter / union.cast("double"), 6).alias("jaccard"))
+
+
+def minhash_signature_exprs(text: str = "text", n_hashes: int = 16,
+                            shingle_n: int = 2) -> list:
+    """MinHash: h_k = min over shingles of (a_k * h(s) + b_k) mod M.
+
+    a_k/b_k are fixed odd constants derived from k (deterministic,
+    SQL-portable). Returns one Column per hash.
+    """
+    sh = shingles_expr(text, shingle_n)
+    wh = WORD_HASH.format(w="s")
+    cols = []
+    for k in range(n_hashes):
+        a = 2 * k + 1
+        b = (k * 40503 + 17) % 65536
+        cols.append(F.expr(
+            f"aggregate(transform({sh}, s -> ({a}L * ({wh}) + {b}L) % {MERSENNE61}L), "
+            f"{MERSENNE61}L, (acc, v) -> least(acc, v))").alias(f"mh_{k}"))
+    return cols
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                      n_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 2) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    of the MinHash signature. Returns distinct (doc_a, doc_b) with
+    doc_a < doc_b."""
+    rows_per_band = n_hashes // bands
+    sig = df.select(F.col(id_col), *minhash_signature_exprs(text, n_hashes, shingle_n))
+    band_cols = []
+    for b in range(bands):
+        cs = [f"mh_{b * rows_per_band + i}" for i in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("_", *cs)).alias(f"band_{b}"))
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
+            for b in range(bands)])).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    left = stacked.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    right = stacked.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    pairs = (left.join(right, ["band", "bh"], "inner")
+                 .where(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b").distinct())
+    return pairs
