@@ -1,0 +1,95 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall time of the headline suite; `queries` holds
+per-query seconds. Also reports docs/sec throughput for the flagship
+spatial-join + tile-assignment job (the BASELINE.json metric) in
+"throughput_docs_per_sec".
+
+Scaling-efficiency mode (BENCH/BASELINE.md): run twice with
+SPARK_GRAFT_CPUS=8 and =32 on the same input.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import contract
+    from spatial4n_spark.operators.joins import point_in_shape_join, with_point_cell
+    from spatial4n_spark.plans.strategy import plan_point_shape_join
+    from spatial4n_spark.session import get_spark
+    from spatial4n_spark.sources.docs import extract_geo_spans, generate_docs
+
+    spark = get_spark("spatial4n_spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # --- flagship: docs -> WKT parse -> tile assign -> PIP join (docs/sec) ---
+    docs = generate_docs(spark, n_docs)
+    rects = contract.nation_rects(spark, sf_dir)
+    plan = plan_point_shape_join(n_docs, 25, 34.0, 18.0)
+
+    def flagship():
+        geo = extract_geo_spans(docs)
+        pts = (geo.where(F.col("shape.kind") == 1)
+                  .select("doc_id", F.col("shape.x").alias("x"),
+                          F.col("shape.y").alias("y")))
+        pts = with_point_cell(pts, "x", "y", plan.precision)  # tile assignment
+        out = point_in_shape_join(pts, rects, plan)
+        return out.count()
+
+    t0 = time.time()
+    join_rows = flagship()
+    flagship_sec = time.time() - t0
+    timings["flagship_pip_tile"] = round(flagship_sec, 3)
+    docs_per_sec = n_docs / flagship_sec
+
+    # --- headline contract queries at sf_dir ---
+    headline = [
+        "pip_rect_join", "dwithin_join", "knn", "tile_assign", "cell_rollup",
+        "cover_cells", "circle_rect_relate", "dedup_exact", "minhash_lsh_pairs",
+        "embed_knn", "zonal_stats", "span_integrity",
+    ]
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    for name in headline:
+        run(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "spatial-join+tile-assignment throughput and headline query suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "bench_docs": n_docs,
+        "throughput_docs_per_sec": round(docs_per_sec, 1),
+        "flagship_join_rows": join_rows,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,19 +54,10 @@ def st_from_wkt(texts: pd.Series) -> pd.DataFrame:
     """WKT -> shape struct (+ error column instead of exceptions).
 
     Parser semantics: Io/WktShapeParser.cs grammar incl. ENVELOPE arg
-    order and BUFFER extension; vectorized POINT fast path.
+    order and BUFFER extension; the POINT fast path is one vectorized
+    regex pass and lands straight in Arrow-bound columns.
     """
-    recs, errs = _wkt.parse_wkt_batch(texts.tolist())
-    rows = []
-    for rec, err in zip(recs, errs):
-        if rec is None:
-            row = dict(_EMPTY_ROW)
-            row["error"] = err
-        else:
-            row = {k: rec.get(k) for k in _EMPTY_ROW}
-            row["error"] = None
-        rows.append(row)
-    return pd.DataFrame(rows)
+    return pd.DataFrame(_wkt.parse_wkt_columns(texts))
 
 
 @pandas_udf(StringType())

@@ -422,24 +422,78 @@ def parse_wkt_batch(texts, geo: bool = True):
     """Batch parse: list/Series of WKT -> (records, errors) parallel lists.
 
     records[i] is a shape dict or None; errors[i] is None or the reason.
-    Fast path: POINT via one vectorized regex pass.
+    Fast path: the dominant POINT case is handled by ONE vectorized
+    pandas regex extract over the whole batch; only non-point strings
+    fall back to the per-string tokenizer.
     """
-    records = []
-    errors = []
-    for t in texts:
-        if t is None:
-            records.append(None)
-            errors.append("null")
-            continue
-        m = _POINT_FAST.match(t)
-        if m:
-            records.append(_mk_point(float(m.group(1)), float(m.group(2))))
-            errors.append(None)
-            continue
+    import pandas as pd
+
+    s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts), dtype=object)
+    n = len(s)
+    records: list = [None] * n
+    errors: list = [None] * n
+
+    null_mask = s.isna()
+    ext = s.where(~null_mask, "").astype(str).str.extract(_POINT_FAST, expand=True)
+    # numpy's str->float64 is correctly rounded; pandas' to_numeric fast
+    # path (xstrtod) is NOT and loses ulps on long decimal strings
+    pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
+    pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
+    fast = ~np.isnan(pxv) & ~np.isnan(pyv) & ~null_mask.to_numpy()
+    for i in np.nonzero(fast)[0]:
+        records[i] = _mk_point(float(pxv[i]), float(pyv[i]))
+    for i in np.nonzero(null_mask.to_numpy())[0]:
+        errors[i] = "null"
+    rest = np.nonzero(~fast & ~null_mask.to_numpy())[0]
+    vals = s.to_numpy(dtype=object)
+    for i in rest:
         try:
-            records.append(parse_shape(t, geo))
-            errors.append(None)
-        except (WktParseError, Exception) as e:  # noqa: BLE001 - kernels never throw
-            records.append(None)
-            errors.append(str(e)[:200])
+            records[i] = parse_shape(vals[i], geo)
+        except Exception as e:  # noqa: BLE001 - kernels never throw
+            errors[i] = str(e)[:200]
     return records, errors
+
+
+def parse_wkt_columns(texts, geo: bool = True) -> dict:
+    """Columnar batch parse for the Arrow UDF: dict of arrays matching
+    the Spark shape-struct schema. The dominant POINT case never builds
+    per-row objects — coordinates land straight in the output arrays.
+    """
+    import pandas as pd
+
+    s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts), dtype=object)
+    n = len(s)
+    null_mask = s.isna().to_numpy()
+    ext = s.where(~s.isna(), "").astype(str).str.extract(_POINT_FAST, expand=True)
+    pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
+    pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
+    fast = ~np.isnan(pxv) & ~np.isnan(pyv) & ~null_mask
+
+    kind = np.where(fast, np.int8(KIND_POINT), np.int8(KIND_EMPTY))
+    x = np.where(fast, pxv, np.nan)
+    y = np.where(fast, pyv, np.nan)
+    radius = np.full(n, np.nan)
+    minx = x.copy(); maxx = x.copy(); miny = y.copy(); maxy = y.copy()
+    xs: list = [None] * n
+    ys: list = [None] * n
+    ring_offsets: list = [None] * n
+    error: list = [None] * n
+
+    vals = s.to_numpy(dtype=object)
+    for i in np.nonzero(null_mask)[0]:
+        error[i] = "null"
+    for i in np.nonzero(~fast & ~null_mask)[0]:
+        try:
+            rec = parse_shape(vals[i], geo)
+            kind[i] = rec["kind"]
+            x[i] = rec["x"]; y[i] = rec["y"]; radius[i] = rec["radius"]
+            minx[i] = rec["minx"]; maxx[i] = rec["maxx"]
+            miny[i] = rec["miny"]; maxy[i] = rec["maxy"]
+            xs[i] = rec["xs"] or None
+            ys[i] = rec["ys"] or None
+            ring_offsets[i] = rec["ring_offsets"] or None
+        except Exception as e:  # noqa: BLE001
+            error[i] = str(e)[:200]
+    return dict(kind=kind, x=x, y=y, radius=radius, minx=minx, maxx=maxx,
+                miny=miny, maxy=maxy, xs=xs, ys=ys, ring_offsets=ring_offsets,
+                error=error)

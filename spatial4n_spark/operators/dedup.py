@@ -48,23 +48,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text
                     F.round(inter / union.cast("double"), 6).alias("jaccard"))
 
 
-def minhash_signature_exprs(text: str = "text", n_hashes: int = 16,
-                            shingle_n: int = 2) -> list:
-    """MinHash: h_k = min over shingles of (a_k * h(s) + b_k) mod M.
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                      n_hashes: int = 16, shingle_n: int = 2) -> DataFrame:
+    """MinHash signature: h_k = min over shingles of (a_k*h(s)+b_k) mod M.
 
-    a_k/b_k are fixed odd constants derived from k (deterministic,
-    SQL-portable). Returns one Column per hash.
+    The shingle set and the md5-prefix hashes are materialized ONCE
+    (two narrow projections), then the k min-folds run over the small
+    int array — not k re-tokenizations of the text.
     """
     sh = shingles_expr(text, shingle_n)
     wh = WORD_HASH.format(w="s")
+    base = df.select(F.col(id_col),
+                     F.expr(f"transform({sh}, s -> {wh})").alias("__sh_hashes"))
     cols = []
     for k in range(n_hashes):
         a = 2 * k + 1
         b = (k * 40503 + 17) % 65536
         cols.append(F.expr(
-            f"aggregate(transform({sh}, s -> ({a}L * ({wh}) + {b}L) % {MERSENNE61}L), "
-            f"{MERSENNE61}L, (acc, v) -> least(acc, v))").alias(f"mh_{k}"))
-    return cols
+            f"aggregate(__sh_hashes, {MERSENNE61}L, "
+            f"(acc, h) -> least(acc, ({a}L * h + {b}L) % {MERSENNE61}L))").alias(f"mh_{k}"))
+    return base.select(id_col, *cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
@@ -74,7 +77,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     of the MinHash signature. Returns distinct (doc_a, doc_b) with
     doc_a < doc_b."""
     rows_per_band = n_hashes // bands
-    sig = df.select(F.col(id_col), *minhash_signature_exprs(text, n_hashes, shingle_n))
+    sig = minhash_signature(df, id_col, text, n_hashes, shingle_n)
     band_cols = []
     for b in range(bands):
         cs = [f"mh_{b * rows_per_band + i}" for i in range(rows_per_band)]
