@@ -45,6 +45,16 @@ _NUM_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
 _POINT_FAST = re.compile(
     rf"^\s*POINT\s*\(\s*({_NUM_RE})\s+({_NUM_RE})(?:\s+{_NUM_RE})*\s*\)\s*$",
     re.IGNORECASE)
+_ENVELOPE_FAST = re.compile(
+    rf"^\s*ENVELOPE\s*\(\s*({_NUM_RE})\s*,\s*({_NUM_RE})\s*,\s*({_NUM_RE})\s*,\s*({_NUM_RE})\s*\)\s*$",
+    re.IGNORECASE)
+_BUFFER_POINT_FAST = re.compile(
+    rf"^\s*BUFFER\s*\(\s*POINT\s*\(\s*({_NUM_RE})\s+({_NUM_RE})\s*\)\s*,\s*({_NUM_RE})\s*\)\s*$",
+    re.IGNORECASE)
+# single-ring polygon, plain "x y, x y, ..." coordinates
+_POLYGON_FAST = re.compile(
+    r"^\s*POLYGON\s*\(\s*\(\s*([0-9eE+.,\s-]+?)\s*\)\s*\)\s*$",
+    re.IGNORECASE)
 
 _TOKEN = re.compile(rf"\s*({_NUM_RE}(?![A-Za-z0-9_.])|[A-Za-z][A-Za-z0-9_]*|[(),])")
 
@@ -482,7 +492,71 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
     vals = s.to_numpy(dtype=object)
     for i in np.nonzero(null_mask)[0]:
         error[i] = "null"
-    for i in np.nonzero(~fast & ~null_mask)[0]:
+    todo = ~fast & ~null_mask
+
+    # --- vectorized ENVELOPE fast path (arg order x1, x2, maxY, minY) ---
+    if todo.any():
+        strs = s.where(~s.isna(), "").astype(str)
+        env = strs.str.extract(_ENVELOPE_FAST, expand=True)
+        e1 = np.asarray(env[0].fillna("nan"), dtype=np.float64)
+        e2 = np.asarray(env[1].fillna("nan"), dtype=np.float64)
+        e3 = np.asarray(env[2].fillna("nan"), dtype=np.float64)
+        e4 = np.asarray(env[3].fillna("nan"), dtype=np.float64)
+        em = todo & ~np.isnan(e1) & ~np.isnan(e2) & ~np.isnan(e3) & ~np.isnan(e4) \
+            & (e4 <= e3)
+        if em.any():
+            rminx, rmaxx = e1[em], e2[em]
+            if geo:  # dateline-edge normalization (SpatialContext.cs:260-267)
+                flip_min = (rminx == 180.0) & (rminx != rmaxx)
+                flip_max = (rmaxx == -180.0) & (rminx != rmaxx)
+                rminx = np.where(flip_min, -180.0, rminx)
+                rmaxx = np.where(flip_max, 180.0, rmaxx)
+            kind[em] = KIND_RECT
+            minx[em] = rminx; maxx[em] = rmaxx
+            miny[em] = e4[em]; maxy[em] = e3[em]
+            todo = todo & ~em
+
+        # --- vectorized BUFFER(POINT(x y), r) fast path -> circle ---
+        bp = strs.str.extract(_BUFFER_POINT_FAST, expand=True)
+        bx = np.asarray(bp[0].fillna("nan"), dtype=np.float64)
+        by = np.asarray(bp[1].fillna("nan"), dtype=np.float64)
+        br = np.asarray(bp[2].fillna("nan"), dtype=np.float64)
+        bm = todo & ~np.isnan(bx) & ~np.isnan(by) & ~np.isnan(br) & (br >= 0)
+        if bm.any():
+            r_c = np.minimum(br[bm], 180.0) if geo else br[bm]
+            kind[bm] = KIND_CIRCLE
+            x[bm] = bx[bm]; y[bm] = by[bm]; radius[bm] = r_c
+            if geo:
+                cminx, cmaxx, cminy, cmaxy = geo_circle_bbox(bx[bm], by[bm], r_c)
+            else:
+                cminx, cmaxx = bx[bm] - r_c, bx[bm] + r_c
+                cminy, cmaxy = by[bm] - r_c, by[bm] + r_c
+            minx[bm] = cminx; maxx[bm] = cmaxx; miny[bm] = cminy; maxy[bm] = cmaxy
+            todo = todo & ~bm
+
+        # --- single-ring POLYGON fast path (no holes, non-dateline) ---
+        pm_idx = np.nonzero(todo)[0]
+        for i in pm_idx:
+            m = _POLYGON_FAST.match(vals[i])
+            if not m:
+                continue
+            try:
+                flat = np.fromstring(m.group(1).replace(",", " "), sep=" ")
+            except Exception:  # noqa: BLE001
+                continue
+            if flat.size < 6 or flat.size % 2:
+                continue
+            vx, vy = flat[0::2], flat[1::2]
+            if geo and vx.max() - vx.min() > 180.0:
+                continue  # dateline rule -> tokenizer path
+            kind[i] = KIND_POLYGON
+            xs[i] = vx.tolist(); ys[i] = vy.tolist()
+            ring_offsets[i] = [0, int(vx.size)]
+            minx[i] = vx.min(); maxx[i] = vx.max()
+            miny[i] = vy.min(); maxy[i] = vy.max()
+            todo[i] = False
+
+    for i in np.nonzero(todo)[0]:
         try:
             rec = parse_shape(vals[i], geo)
             kind[i] = rec["kind"]

@@ -84,10 +84,13 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     maxx_u = F.when(s["maxx"] < s["minx"], s["maxx"] + 360.0).otherwise(s["maxx"])
     bbox_ok = (py >= s["miny"]) & (py <= s["maxy"]) & \
               (px_shift >= s["minx"]) & (px_shift <= maxx_u)
+    # single UDF instance in the Filter (withColumn+where would make
+    # Catalyst evaluate the kernel twice); relation is CONTAINS by
+    # construction after the filter
     refined = (joined
                .where(bbox_ok)
-               .withColumn("relation", SF.st_relate_shape_point(s, px, py))
-               .where(F.col("relation") == REL.CONTAINS))
+               .where(SF.st_relate_shape_point(s, px, py) == REL.CONTAINS)
+               .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
     refined = refined.drop("cover_cell", "__salt")
     if how == "inner":
         return refined

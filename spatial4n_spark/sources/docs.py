@@ -86,17 +86,60 @@ def read_docs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+GEO_WKT_RE = ("^ *(POINT|ENVELOPE|BUFFER|POLYGON|MULTIPOLYGON|"
+              "LINESTRING|MULTILINESTRING|MULTIPOINT|GEOMETRYCOLLECTION)")
+
+
 def extract_geo_spans(docs: DataFrame) -> DataFrame:
     """docs -> one row per WKT-bearing text span, with the parsed shape.
 
-    posexplode preserves span order; span-sequence equality back to the
-    source doc is checked by tests/test_span_invariant.py.
+    posexplode preserves span order (span-sequence invariant). The WKT
+    parse runs as ONE mapInPandas pass emitting flat columns — a single
+    Arrow exchange, no re-evaluation when downstream reads several shape
+    fields (Catalyst duplicates pandas-UDF expressions across collapsed
+    projections), and bbox fields land as real columns for min/max scan
+    pruning. A `shape` struct is re-assembled JVM-side for the join API.
     """
-    from .. import functions as SF
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, ByteType, DoubleType,
+                                   IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    from ..kernels.wkt import parse_wkt_columns
+
     span = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
                 .where((F.col("span.kind") == "text")
-                       & F.col("span.text").rlike(
-                           "^ *(POINT|ENVELOPE|BUFFER|POLYGON|MULTIPOLYGON|"
-                           "LINESTRING|MULTILINESTRING|MULTIPOINT|GEOMETRYCOLLECTION)")))
-    return (span.withColumn("shape", SF.st_from_wkt(F.col("span.text")))
-                .where(F.col("shape.error").isNull()))
+                       & F.col("span.text").rlike(GEO_WKT_RE))
+                .select("doc_id", "pos", F.col("span.text").alias("wkt")))
+
+    out_schema = StructType([
+        StructField("doc_id", span.schema["doc_id"].dataType),
+        StructField("pos", IntegerType()),
+        StructField("kind", ByteType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("radius", DoubleType()),
+        StructField("minx", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxy", DoubleType()),
+        StructField("xs", ArrayType(DoubleType())),
+        StructField("ys", ArrayType(DoubleType())),
+        StructField("ring_offsets", ArrayType(IntegerType())),
+        StructField("error", StringType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cols = parse_wkt_columns(b["wkt"])
+            out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                                "pos": b["pos"].to_numpy(), **cols})
+            yield out[out["error"].isna()]
+
+    flat = span.mapInPandas(gen, out_schema)
+    shape = F.struct(*[F.col(c).alias(c) for c in
+                       ("kind", "x", "y", "radius", "minx", "maxx", "miny",
+                        "maxy", "xs", "ys", "ring_offsets", "error")])
+    return flat.withColumn("shape", shape)
