@@ -71,6 +71,40 @@ def st_cell(lat, lon, precision: int):
     return _st_cell_udf(lat, lon, F.lit(precision))
 
 
+from pyspark.sql.types import LongType  # noqa: E402
+
+
+@pandas_udf(LongType())
+def _st_cell_code_udf(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Series:
+    p = int(precision.iloc[0])
+    return pd.Series(_gh.cell_code(lat.to_numpy(), lon.to_numpy(), p))
+
+
+def st_cell_code(lat, lon, precision: int):
+    """Int64 cell code (interleaved geohash bits) — join fast path."""
+    return _st_cell_code_udf(lat, lon, F.lit(precision))
+
+
+@pandas_udf(ArrayType(LongType()))
+def _st_cover_codes_udf(minx: pd.Series, maxx: pd.Series, miny: pd.Series,
+                        maxy: pd.Series, precision: pd.Series) -> pd.Series:
+    p = int(precision.iloc[0])
+    out = []
+    mnx, mxx, mny, mxy = (minx.to_numpy(), maxx.to_numpy(),
+                          miny.to_numpy(), maxy.to_numpy())
+    for i in range(len(mnx)):
+        if np.isnan(mnx[i]):
+            out.append([])
+        else:
+            out.append(_gh.cover_codes_bbox(mnx[i], mxx[i], mny[i], mxy[i], p))
+    return pd.Series(out)
+
+
+def st_cover_codes(minx, maxx, miny, maxy, precision: int):
+    """Int64-code tile cover of a bbox (join fast path)."""
+    return _st_cover_codes_udf(minx, maxx, miny, maxy, F.lit(precision))
+
+
 @pandas_udf(ArrayType(StringType()))
 def _st_cover_udf(minx: pd.Series, maxx: pd.Series, miny: pd.Series,
                   maxy: pd.Series, precision: pd.Series) -> pd.Series:

@@ -146,6 +146,62 @@ def indices_to_hash(lon_idx, lat_idx, precision: int) -> np.ndarray:
     return chars.T.copy().view(f"S{precision}").reshape(lon_idx.shape[0]).astype(str)
 
 
+def cell_code(lat, lon, precision: int) -> np.ndarray:
+    """Int64 cell id: the interleaved geohash bit code (no base32
+    string). Bit-compatible with encode(): indices_to_hash of the
+    de-interleaved code equals the string geohash. The join fast path —
+    int equi-join keys beat string keys and skip string materialization.
+    """
+    lon_idx, lat_idx = cell_indices(lat, lon, precision)
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    code = np.zeros(lon_idx.shape, dtype=np.int64)
+    li, ti = lon_bits, lat_bits
+    for b in range(nbits):
+        if b % 2 == 0:
+            li -= 1
+            bit = (lon_idx >> li) & 1
+        else:
+            ti -= 1
+            bit = (lat_idx >> ti) & 1
+        code = (code << 1) | bit
+    return code
+
+
+def _interleave_codes(lon_idx, lat_idx, precision: int) -> np.ndarray:
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    code = np.zeros(np.broadcast(lon_idx, lat_idx).shape, dtype=np.int64)
+    li, ti = lon_bits, lat_bits
+    for b in range(nbits):
+        if b % 2 == 0:
+            li -= 1
+            bit = (np.asarray(lon_idx) >> li) & 1
+        else:
+            ti -= 1
+            bit = (np.asarray(lat_idx) >> ti) & 1
+        code = (code << 1) | bit
+    return code
+
+
+def cover_codes_bbox(minx, maxx, miny, maxy, precision: int) -> list:
+    """Int64-code variant of cover_cells_bbox (the join fast path)."""
+    nbits = precision * 5
+    lon_n = 1 << ((nbits + 1) // 2)
+    ilo_lon, ilo_lat = cell_indices([miny], [minx], precision)
+    ihi_lon, ihi_lat = cell_indices([maxy], [maxx], precision)
+    lat_range = np.arange(ilo_lat[0], ihi_lat[0] + 1)
+    if minx <= maxx:
+        lon_range = np.arange(ilo_lon[0], ihi_lon[0] + 1)
+    else:
+        lon_range = np.concatenate([np.arange(ilo_lon[0], lon_n),
+                                    np.arange(0, ihi_lon[0] + 1)])
+    lon_g, lat_g = np.meshgrid(lon_range, lat_range)
+    return _interleave_codes(lon_g.ravel(), lat_g.ravel(), precision).tolist()
+
+
 def cover_cells_bbox(minx, maxx, miny, maxy, precision: int) -> list:
     """All cells at `precision` overlapping a (dateline-aware) bbox.
 

@@ -24,22 +24,31 @@ from ..plans.strategy import JoinPlan
 
 
 def with_point_cell(points: DataFrame, x: str = "x", y: str = "y",
-                    precision: int = 6, cell_col: str = "cell_id") -> DataFrame:
-    """Assign each point its (single) geohash cell."""
-    return points.withColumn(cell_col, SF.st_cell(F.col(y), F.col(x), precision))
+                    precision: int = 6, cell_col: str = "cell_id",
+                    codes: bool = True) -> DataFrame:
+    """Assign each point its (single) cell.
+
+    codes=True (default) uses the int64 interleaved-bit cell code — the
+    join fast path (int hash keys, no base32 string materialization);
+    codes=False produces the reference-compatible geohash string.
+    """
+    fn = SF.st_cell_code if codes else SF.st_cell
+    return points.withColumn(cell_col, fn(F.col(y), F.col(x), precision))
 
 
 def with_shape_cover(shapes: DataFrame, shape_col: str = "shape",
-                     precision: int = 6, cover_col: str = "cover_cell") -> DataFrame:
+                     precision: int = 6, cover_col: str = "cover_cell",
+                     codes: bool = False) -> DataFrame:
     """Explode each shape to its covering cells (bbox cover).
 
     The bbox is the shape struct's materialized minx/maxx/miny/maxy
     (dateline-aware), so circles/polygons/rects all cover correctly.
     """
     s = F.col(shape_col)
+    fn = SF.st_cover_codes if codes else SF.st_cover_cells
     return (shapes
-            .withColumn("__cells", SF.st_cover_cells(s["minx"], s["maxx"],
-                                                     s["miny"], s["maxy"], precision))
+            .withColumn("__cells", fn(s["minx"], s["maxx"],
+                                      s["miny"], s["maxy"], precision))
             .withColumn(cover_col, F.explode("__cells"))
             .drop("__cells"))
 
@@ -53,8 +62,8 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     `how`: inner (pairs), leftsemi (points hitting any shape),
     leftanti (points hitting none).
     """
-    pts = with_point_cell(points, point_x, point_y, plan.precision)
-    cover = with_shape_cover(shapes, shape_col, plan.precision)
+    pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
+    cover = with_shape_cover(shapes, shape_col, plan.precision, codes=True)
 
     if plan.broadcast_shapes:
         cover = F.broadcast(cover)
@@ -118,12 +127,12 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Col
     box = SF.st_circle_bbox(qx, qy, radius_deg if isinstance(radius_deg, Column)
                             else F.lit(float(radius_deg)))
     q = queries.withColumn("__box", box)
-    q = (q.withColumn("__cells", SF.st_cover_cells(
+    q = (q.withColumn("__cells", SF.st_cover_codes(
             F.col("__box.minx"), F.col("__box.maxx"),
             F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
           .withColumn("cover_cell", F.explode("__cells"))
           .drop("__cells", "__box"))
-    pts = with_point_cell(points, point_x, point_y, plan.precision)
+    pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
     if plan.broadcast_shapes:
         q = F.broadcast(q)
     joined = pts.join(q, pts["cell_id"] == q["cover_cell"], "inner").drop("cover_cell")

@@ -71,3 +71,40 @@ def test_mixed_length_decode():
     minx, maxx, miny, maxy = gh.decode_boundary(np.array(["u", "u4pruydqqvj8", "ezs42"]))
     assert maxx[0] - minx[0] == pytest.approx(45.0)
     assert maxx[1] - minx[1] < 1e-6
+
+
+def test_cell_code_matches_encode():
+    rng = np.random.RandomState(5)
+    lat = rng.uniform(-90, 90, 500)
+    lon = rng.uniform(-180, 180, 500)
+    for p in (2, 5, 7):
+        codes = gh.cell_code(lat, lon, p)
+        # same code <=> same geohash string cell
+        strs = gh.encode(lat, lon, p)
+        m = {}
+        for c, s in zip(codes.tolist(), strs.tolist()):
+            assert m.setdefault(c, s) == s
+        # code de-interleaves to the string via indices_to_hash
+        nbits = p * 5
+        lon_bits = (nbits + 1) // 2
+        li = np.zeros(len(codes), dtype=np.int64)
+        ti = np.zeros(len(codes), dtype=np.int64)
+        for b in range(nbits):
+            bit = (codes >> (nbits - 1 - b)) & 1
+            if b % 2 == 0:
+                li = (li << 1) | bit
+            else:
+                ti = (ti << 1) | bit
+        assert (gh.indices_to_hash(li, ti, p) == strs).all()
+
+
+def test_cover_codes_match_cover_cells():
+    cases = [(10.0, 10.5, 45.0, 45.3), (179.5, -179.5, 0.0, 0.5), (-30.0, 20.0, -10.0, 5.0)]
+    for (mnx, mxx, mny, mxy) in cases:
+        cells = gh.cover_cells_bbox(mnx, mxx, mny, mxy, 4)
+        codes = gh.cover_codes_bbox(mnx, mxx, mny, mxy, 4)
+        assert len(cells) == len(codes)
+        # centers of decoded cells re-encode to the same codes
+        minx, maxx, miny, maxy = gh.decode_boundary(np.array(cells))
+        cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+        assert sorted(gh.cell_code(cy, cx, 4).tolist()) == sorted(codes)
