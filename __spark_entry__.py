@@ -69,6 +69,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational coverage ---
         "tpch_pricing_summary": c.q_tpch_pricing_summary,
         "events_sessionize": c.q_events_sessionize,
+        # --- shape algebra: areas / bearing / lines / extent ---
+        "st_area": c.q_st_area,
+        "point_on_bearing": c.q_point_on_bearing,
+        "line_contains_join": c.q_line_contains_join,
+        "extent_agg": c.q_extent_agg,
+        "collection_relate": c.q_collection_relate,
+        "circle_circle_relate": c.q_circle_circle_relate,
+        # --- codecs / normalization ---
+        "legacy_roundtrip": c.q_legacy_roundtrip,
+        "normalize": c.q_normalize,
     }
 
 
@@ -101,4 +111,12 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": c.ORACLE_ZONAL,
         "tpch_pricing_summary": c.ORACLE_TPCH_Q1,
         "events_sessionize": c.ORACLE_EVENTS,
+        "st_area": c.ORACLE_AREA,
+        "point_on_bearing": c.ORACLE_BEARING,
+        "line_contains_join": c.ORACLE_LINE,
+        "extent_agg": c.ORACLE_EXTENT,
+        "collection_relate": c.ORACLE_COLLECTION,
+        "circle_circle_relate": c.ORACLE_CIRCLE_CIRCLE,
+        "legacy_roundtrip": c.ORACLE_LEGACY,
+        "normalize": c.ORACLE_NORM,
     }

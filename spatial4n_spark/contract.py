@@ -937,3 +937,348 @@ WHERE ((x2t - x1t) * (y - y1t) - (y2t - y1t) * (x - x1t)) >= 0
   AND ((x1t - x3t) * (y - y3t) - (y1t - y3t) * (x - x3t)) >= 0
 """
 
+
+
+# ---------------------------------------------------------------------------
+# round-2 coverage: area, bearing, buffered line, extent, legacy codec,
+# collection combine, circle-circle, normalization
+# ---------------------------------------------------------------------------
+
+_RDEG = "(1.0/(pi()/180.0))"     # sphere radius in degrees, same ops as kernel
+_D2R = "(pi()/180.0)"
+
+
+def q_st_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical rect + circle-cap areas (deg^2) per supplier.
+
+    Rect: GeodesicSphereDistCalc.cs:58-66 (dateline-aware width);
+    circle cap: :68-73. Rounded for cross-libm comparison."""
+    from . import functions as SF
+    r = supplier_rects(spark, sf_dir)
+    c = supplier_circles(spark, sf_dir)
+    j = r.join(c, r["srect_id"] == c["circle_id"], "inner")
+    return j.select(
+        F.col("circle_id").alias("s_suppkey"),
+        F.round(SF.st_rect_area_geo(F.col("sminx"), F.col("smaxx"),
+                                    F.col("sminy"), F.col("smaxy")), 4).alias("rect_area"),
+        F.round(SF.st_circle_area_geo(F.col("r")), 4).alias("circle_area"))
+
+
+ORACLE_AREA = f"""
+WITH {_CTE_SRECTS}, {_CTE_CIRCLES},
+w AS (
+  SELECT circle_id AS s_suppkey,
+         (CASE WHEN (smaxx - sminx) < 0 THEN (smaxx - sminx) + 360.0
+               ELSE (smaxx - sminx) END) AS width,
+         sminy, smaxy, r
+  FROM srects JOIN circles ON srect_id = circle_id
+)
+SELECT s_suppkey,
+       round({_D2R} * {_RDEG} * {_RDEG}
+             * abs(sin(sminy * {_D2R}) - sin(smaxy * {_D2R})) * width, 4) AS rect_area,
+       round(2.0 * pi() * {_RDEG} * {_RDEG}
+             * (1.0 - sin((90.0 - r) * {_D2R})), 4) AS circle_area
+FROM w
+"""
+
+
+_BDIST = "(cast(1.0 as double) + (c_custkey * 7) % 80)"
+_BBRG = "(cast(0.0 as double) + (c_custkey * 13) % 360)"
+
+
+def q_point_on_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle destination points (DistanceUtils.PointOnBearingRAD)."""
+    from . import functions as SF
+    pts = (customer_points(spark, sf_dir)
+           .selectExpr("c_custkey", "x", "y",
+                       f"{_BDIST} AS d", f"{_BBRG} AS brg"))
+    dest = SF.st_point_on_bearing(F.col("x"), F.col("y"), F.col("d"), F.col("brg"))
+    return pts.select("c_custkey",
+                      F.round(dest["x2"], 6).alias("x2"),
+                      F.round(dest["y2"], 6).alias("y2"))
+
+
+ORACLE_BEARING = f"""
+WITH {_CTE_POINTS},
+inp AS (
+  SELECT c_custkey, x * {_D2R} AS lon1, y * {_D2R} AS lat1,
+         {_BDIST} * {_D2R} AS d, {_BBRG} * {_D2R} AS brg
+  FROM pts
+),
+s1 AS (
+  SELECT c_custkey, lon1, lat1, d, brg,
+         sin(lat1) * cos(d) + cos(lat1) * sin(d) * cos(brg) AS sinlat2
+  FROM inp
+),
+s2 AS (
+  SELECT c_custkey, lon1, lat1, d, brg, sinlat2,
+         asin(least(1.0, greatest(-1.0, sinlat2))) AS lat2,
+         lon1 + atan2(sin(brg) * sin(d) * cos(lat1), cos(d) - sin(lat1) * sinlat2) AS lon2r
+  FROM s1
+),
+s3 AS (
+  SELECT c_custkey, lat2,
+         CASE WHEN lon2r > pi() THEN -1.0 * (pi() - (lon2r - pi()))
+              WHEN lon2r < -pi() THEN (lon2r + pi()) + pi()
+              ELSE lon2r END AS lon2
+  FROM s2
+)
+SELECT c_custkey,
+       round(lon2 * {_RDEG}, 6) AS x2,
+       round(lat2 * {_RDEG}, 6) AS y2
+FROM s3
+"""
+
+
+_LAX = "(((n_nationkey * 41 + 3) % 56000) / cast(200.0 as double) - 140.0)"
+_LAY = "(((n_nationkey * 43 + 5) % 30000) / cast(200.0 as double) - 75.0)"
+_LDX = "(cast(5.0 as double) + (n_nationkey * 7) % 20)"
+_LDY = "(cast(3.0 as double) + (n_nationkey * 11) % 15)"
+_LBUF = "(cast(3.0 as double) + n_nationkey % 8)"
+
+
+def buffered_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS line_id", f"{_LAX} AS ax", f"{_LAY} AS ay",
+        f"({_LAX} + {_LDX}) AS bx", f"({_LAY} + {_LDY}) AS by",
+        f"{_LBUF} AS buf")
+
+
+def q_line_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points inside buffered line segments (BufferedLine.Contains,
+    the rotated-rectangle two-infinite-line test). Line side broadcasts
+    (bounded count); at scale the coarse stage is the line-bbox tile
+    cover, same skeleton as point_in_shape_join."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir)
+    lines = buffered_lines(spark, sf_dir)
+    j = pts.crossJoin(F.broadcast(lines))
+    hit = SF.st_line_contains_point(F.col("ax"), F.col("ay"), F.col("bx"),
+                                    F.col("by"), F.col("buf"),
+                                    F.col("x"), F.col("y"))
+    return j.where(hit).select("c_custkey", "line_id")
+
+
+ORACLE_LINE = f"""
+WITH {_CTE_POINTS},
+lines AS (
+  SELECT n_nationkey AS line_id, {_LAX} AS ax, {_LAY} AS ay,
+         ({_LAX} + {_LDX}) AS bx, ({_LAY} + {_LDY}) AS by, {_LBUF} AS buf
+  FROM nation
+),
+p AS (
+  SELECT line_id, ax, ay, buf, (bx - ax) AS dx, (by - ay) AS dy FROM lines
+),
+parm AS (
+  SELECT line_id, buf,
+         (ax + dx / 2.0) AS cx, (ay + dy / 2.0) AS cy,
+         (dy / dx) AS sp, ((-dx) / dy) AS sq,
+         (sqrt(dx * dx + dy * dy) / 2.0 + buf) AS bufq
+  FROM p
+),
+parm2 AS (
+  SELECT line_id, buf, bufq, sp, sq,
+         (cy - sp * cx) AS ip, (cy - sq * cx) AS iq,
+         (1.0 / sqrt(sp * sp + 1.0)) AS dp,
+         (1.0 / sqrt(sq * sq + 1.0)) AS dq
+  FROM parm
+)
+SELECT c_custkey, line_id
+FROM pts CROSS JOIN parm2
+WHERE abs(y - sp * x - ip) * dp <= buf
+  AND abs(y - sq * x - iq) * dq <= bufq
+"""
+
+
+def q_extent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_extent UDAF: dateline-aware bbox union per nation group
+    (LongitudeRange.ExpandTo fold). Groups here are dateline-free by
+    construction, so the smart union equals min/max — which is exactly
+    what makes the relational oracle expressible."""
+    from .operators.extent_agg import st_extent
+    pts = _load(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", f"({PX} / 3.0) AS x", f"({PY} / 2.0) AS y")
+    boxes = pts.selectExpr("c_nationkey", "x AS minx", "x AS maxx",
+                           "y AS miny", "y AS maxy")
+    return st_extent(boxes, ["c_nationkey"])
+
+
+ORACLE_EXTENT = f"""
+SELECT c_nationkey,
+       min(({PX} / 3.0)) AS minx, max(({PX} / 3.0)) AS maxx,
+       min(({PY} / 2.0)) AS miny, max(({PY} / 2.0)) AS maxy
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+_GLX = "(((p_partkey * 61 + 7) % 64000) / cast(200.0 as double) - 160.0)"
+_GLY = "(((p_partkey * 67 + 11) % 32000) / cast(200.0 as double) - 80.0)"
+_GLR = "(cast(1.0 as double) + ((p_partkey * 73) % 1500) / cast(100.0 as double))"
+_GMAXX = f"({_GLX} + (cast(2.0 as double) + p_partkey % 10))"
+_GMAXY = f"({_GLY} + (cast(1.0 as double) + p_partkey % 7))"
+
+
+def q_legacy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy text codec round-trip: build "X Y" / "minX minY maxX maxY"
+    / "Circle(x y d=r)" strings, parse with the legacy kernel, emit the
+    decoded shape columns (LegacyShapeReadWriterFormat.cs:46-96).
+
+    Spark's double->string is shortest-round-trip, so point/rect coords
+    decode bit-exactly; circle bbox goes through asin/cos (rounded)."""
+    from . import functions as SF
+    part = _load(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        f"""CASE p_partkey % 3
+            WHEN 0 THEN concat(cast({_GLX} as string), ' ', cast({_GLY} as string))
+            WHEN 1 THEN concat(cast({_GLX} as string), ' ', cast({_GLY} as string), ' ',
+                               cast({_GMAXX} as string), ' ', cast({_GMAXY} as string))
+            ELSE concat('Circle(', cast({_GLX} as string), ' ',
+                        cast(({_GLY} / 2.0) as string), ' d=', cast({_GLR} as string), ')')
+            END AS legacy""")
+    s = SF.st_from_legacy(F.col("legacy"))
+    return part.select(
+        "p_partkey",
+        s["kind"].cast("int").alias("kind"),
+        s["x"].alias("x"), s["y"].alias("y"), s["radius"].alias("radius"),
+        F.round(s["minx"], 6).alias("minx"), F.round(s["maxx"], 6).alias("maxx"),
+        F.round(s["miny"], 6).alias("miny"), F.round(s["maxy"], 6).alias("maxy"))
+
+
+ORACLE_LEGACY = f"""
+WITH base AS (
+  SELECT p_partkey, p_partkey % 3 AS fmt, {_GLX} AS gx, {_GLY} AS gy,
+         ({_GLY} / 2.0) AS cy, {_GLR} AS gr, {_GMAXX} AS gmaxx, {_GMAXY} AS gmaxy
+  FROM part
+),
+dl AS (
+  SELECT *, asin(sin(gr * {_D2R}) / cos(cy * {_D2R})) * {_RDEG} AS dlon FROM base
+)
+SELECT p_partkey,
+       CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS kind,
+       CASE fmt WHEN 0 THEN gx WHEN 1 THEN NULL ELSE gx END AS x,
+       CASE fmt WHEN 0 THEN gy WHEN 1 THEN NULL ELSE cy END AS y,
+       CASE fmt WHEN 2 THEN gr ELSE NULL END AS radius,
+       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gx ELSE gx - dlon END, 6) AS minx,
+       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gmaxx ELSE gx + dlon END, 6) AS maxx,
+       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gy ELSE cy - gr END, 6) AS miny,
+       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gmaxy ELSE cy + gr END, 6) AS maxy
+FROM dl
+"""
+
+
+def q_collection_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShapeCollection.Relate: fold member verdicts with the Combine
+    state machine (ShapeCollection.cs:131-161, SpatialRelation.cs:110-126).
+
+    Members = each nation's supplier rects; target = the nation rect.
+    Per-member relate runs the rect kernel; the fold runs JVM-side as a
+    flags aggregation (partial-agg friendly) that is provably equal to
+    the sequential Combine fold: X+X=X, {CONTAINS,DISJOINT}=CONTAINS,
+    anything else INTERSECTS — order-independent."""
+    from . import functions as SF
+    sup = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_nationkey", f"{RMINX} AS sminx", f"{RMAXX} AS smaxx",
+        f"{RMINY} AS sminy", f"{RMAXY} AS smaxy")
+    nat = nation_rects(spark, sf_dir).select("rect_id", "minx", "maxx", "miny", "maxy")
+    j = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["rect_id"], "inner")
+    rel = SF.st_relate_rect_rect(
+        F.col("sminx"), F.col("smaxx"), F.col("sminy"), F.col("smaxy"),
+        F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy")).cast("int")
+    per = j.select(F.col("rect_id").alias("nationkey"), rel.alias("rel"))
+    agg = per.groupBy("nationkey").agg(
+        F.min("rel").alias("mn"), F.max("rel").alias("mx"),
+        F.max(F.when(F.col("rel").isin(1, 4), 1).otherwise(0)).alias("bad"))
+    combined = (F.when(F.col("mn") == F.col("mx"), F.col("mn"))
+                 .when(F.col("bad") == 0, F.lit(2))
+                 .otherwise(F.lit(4)))
+    return agg.select("nationkey", combined.cast("int").alias("combined_rel"))
+
+
+ORACLE_COLLECTION = f"""
+WITH {_CTE_NRECTS},
+sup AS (
+  SELECT s_nationkey, {RMINX} AS sminx, {RMAXX} AS smaxx,
+         {RMINY} AS sminy, {RMAXY} AS smaxy
+  FROM supplier
+),
+per AS (
+  SELECT rect_id AS nationkey,
+         {_relate_rect_rect_sql('sminx', 'smaxx', 'sminy', 'smaxy',
+                                'minx', 'maxx', 'miny', 'maxy')} AS rel
+  FROM sup JOIN nrects ON s_nationkey = rect_id
+)
+SELECT nationkey,
+       CAST(CASE WHEN min(rel) = max(rel) THEN min(rel)
+                 WHEN max(CASE WHEN rel IN (1, 4) THEN 1 ELSE 0 END) = 0 THEN 2
+                 ELSE 4 END AS INT) AS combined_rel
+FROM per GROUP BY nationkey
+"""
+
+
+def q_circle_circle_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circle.Relate(circle) ring arithmetic (CircleImpl.cs:235-247)."""
+    from . import functions as SF
+    c = supplier_circles(spark, sf_dir).selectExpr(
+        "circle_id", "cx", "cy", "r",
+        "(cx + 3.0) AS cx2", "(cy + 2.0) AS cy2", "(r / 2.0 + 1.0) AS r2")
+    rel = SF.st_relate_circle_circle(F.col("cx"), F.col("cy"), F.col("r"),
+                                     F.col("cx2"), F.col("cy2"), F.col("r2"))
+    return c.select("circle_id", rel.cast("int").alias("rel"))
+
+
+ORACLE_CIRCLE_CIRCLE = f"""
+WITH {_CTE_CIRCLES},
+c2 AS (
+  SELECT circle_id, cx, cy, r, (cx + 3.0) AS cx2, (cy + 2.0) AS cy2,
+         (r / 2.0 + 1.0) AS r2
+  FROM circles
+),
+d AS (
+  SELECT circle_id, r, r2, {_hav('cx', 'cy', 'cx2', 'cy2')} AS crossd FROM c2
+)
+SELECT circle_id,
+       CAST(CASE WHEN crossd > r + r2 THEN 3
+                 WHEN crossd < r AND crossd + r2 <= r THEN 2
+                 WHEN crossd < r2 AND crossd + r <= r2 THEN 1
+                 ELSE 4 END AS INT) AS rel
+FROM d
+"""
+
+
+_OLON = "(((o_orderkey * 17) % 144000) / cast(100.0 as double) - 720.0)"
+_OLAT = "(((o_orderkey * 19) % 72000) / cast(100.0 as double) - 360.0)"
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lon wrap / lat fold normalization (DistanceUtils.cs:290-314) on
+    out-of-range coordinates. Pure modular double arithmetic — exact on
+    both sides, no rounding."""
+    from . import functions as SF
+    o = _load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", f"{_OLON} AS lon_raw", f"{_OLAT} AS lat_raw")
+    return o.select(
+        "o_orderkey",
+        SF.st_norm_lon(F.col("lon_raw")).alias("lon_n"),
+        SF.st_norm_lat(F.col("lat_raw")).alias("lat_n"))
+
+
+ORACLE_NORM = f"""
+WITH raw AS (
+  SELECT o_orderkey, {_OLON} AS v, {_OLAT} AS w FROM orders
+),
+m AS (
+  SELECT o_orderkey, v, w,
+         (((v + 180.0) % 360.0) + 360.0) % 360.0 AS lon_off,
+         abs((w + 90.0) % 360.0) AS lat_off
+  FROM raw
+)
+SELECT o_orderkey,
+       CASE WHEN v >= -180.0 AND v <= 180.0 THEN v
+            WHEN lon_off = 0 AND v > 0 THEN 180.0
+            ELSE -180.0 + lon_off END AS lon_n,
+       CASE WHEN w >= -90.0 AND w <= 90.0 THEN w
+            ELSE (CASE WHEN lat_off <= 180.0 THEN lat_off
+                       ELSE 360.0 - lat_off END) - 90.0 END AS lat_n
+FROM m
+"""

@@ -287,3 +287,81 @@ def st_relation_name(rel_col):
              .when(rel_col == _rel.DISJOINT, "DISJOINT")
              .when(rel_col == _rel.INTERSECTS, "INTERSECTS")
              .otherwise("NONE"))
+
+
+@pandas_udf(SHAPE_SCHEMA)
+def st_from_legacy(texts: pd.Series) -> pd.DataFrame:
+    """Legacy text format -> shape struct ("X Y", "minX minY maxX maxY",
+    "Circle(x y d=r)"; LegacyShapeReadWriterFormat.cs:46-96)."""
+    return pd.DataFrame(_wkt.parse_legacy_columns(texts))
+
+
+@pandas_udf(DoubleType())
+def st_rect_area_geo(minx: pd.Series, maxx: pd.Series, miny: pd.Series,
+                     maxy: pd.Series) -> pd.Series:
+    """Spherical rect area in deg^2 (GeodesicSphereDistCalc.cs:58-66)."""
+    from ..kernels.area import geo_rect_area
+    return pd.Series(geo_rect_area(minx.to_numpy(), maxx.to_numpy(),
+                                   miny.to_numpy(), maxy.to_numpy()))
+
+
+@pandas_udf(DoubleType())
+def st_circle_area_geo(r: pd.Series) -> pd.Series:
+    """Spherical cap area in deg^2 (GeodesicSphereDistCalc.cs:68-73)."""
+    from ..kernels.area import geo_circle_area
+    return pd.Series(geo_circle_area(r.to_numpy()))
+
+
+_DEST_SCHEMA = StructType([
+    StructField("x2", DoubleType()), StructField("y2", DoubleType()),
+])
+
+
+@pandas_udf(_DEST_SCHEMA)
+def st_point_on_bearing(x: pd.Series, y: pd.Series, dist_deg: pd.Series,
+                        bearing_deg: pd.Series) -> pd.DataFrame:
+    """Great-circle destination point (DistanceUtils.cs:222-283)."""
+    from ..kernels.bearing import geo_point_on_bearing_deg
+    lon2, lat2 = geo_point_on_bearing_deg(x.to_numpy(), y.to_numpy(),
+                                          dist_deg.to_numpy(),
+                                          bearing_deg.to_numpy())
+    return pd.DataFrame({"x2": lon2, "y2": lat2})
+
+
+from pyspark.sql.types import BooleanType  # noqa: E402
+
+
+@pandas_udf(BooleanType())
+def st_line_contains_point(ax: pd.Series, ay: pd.Series, bx: pd.Series,
+                           by: pd.Series, buf: pd.Series, px: pd.Series,
+                           py: pd.Series) -> pd.Series:
+    """BufferedLine.Contains(point) (BufferedLine.cs:215-219)."""
+    from ..kernels.relate_line import buffered_line_contains
+    return pd.Series(buffered_line_contains(
+        ax.to_numpy(), ay.to_numpy(), bx.to_numpy(), by.to_numpy(),
+        buf.to_numpy(), px.to_numpy(), py.to_numpy()))
+
+
+@pandas_udf(ByteType())
+def st_relate_circle_circle(x1: pd.Series, y1: pd.Series, r1: pd.Series,
+                            x2: pd.Series, y2: pd.Series,
+                            r2: pd.Series) -> pd.Series:
+    """Circle.Relate(circle) ring arithmetic (CircleImpl.cs:235-247)."""
+    from ..kernels.relate_circle import relate_circle_circle
+    return pd.Series(relate_circle_circle(
+        x1.to_numpy(), y1.to_numpy(), r1.to_numpy(),
+        x2.to_numpy(), y2.to_numpy(), r2.to_numpy(), geo=True))
+
+
+@pandas_udf(DoubleType())
+def st_norm_lon(lon: pd.Series) -> pd.Series:
+    """Wrap longitude into [-180,180] (DistanceUtils.cs:290-301)."""
+    from ..kernels.normalize import norm_lon_deg
+    return pd.Series(norm_lon_deg(lon.to_numpy()))
+
+
+@pandas_udf(DoubleType())
+def st_norm_lat(lat: pd.Series) -> pd.Series:
+    """Fold latitude into [-90,90] (DistanceUtils.cs:308-314)."""
+    from ..kernels.normalize import norm_lat_deg
+    return pd.Series(norm_lat_deg(lat.to_numpy()))

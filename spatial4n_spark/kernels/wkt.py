@@ -571,3 +571,64 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
     return dict(kind=kind, x=x, y=y, radius=radius, minx=minx, maxx=maxx,
                 miny=miny, maxy=maxy, xs=xs, ys=ys, ring_offsets=ring_offsets,
                 error=error)
+
+
+# ---------------------------------------------------------------------------
+# legacy text format (Io/LegacyShapeReadWriterFormat.cs:46-209)
+# ---------------------------------------------------------------------------
+
+_LEGACY_CIRCLE = re.compile(
+    r"^\s*circle\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s+d\s*=\s*([-+0-9.eE]+)\s*\)\s*$",
+    re.IGNORECASE)
+
+
+def parse_legacy(text: str, geo: bool = True) -> dict:
+    """Legacy shape grammar: "X Y" point, "minX minY maxX maxY" rect,
+    "Circle(x y d=r)" circle (LegacyShapeReadWriterFormat.cs:46-96).
+    """
+    m = _LEGACY_CIRCLE.match(text)
+    if m:
+        return _mk_circle(float(m.group(1)), float(m.group(2)),
+                          float(m.group(3)), geo)
+    parts = text.split()
+    if len(parts) == 2:
+        return _mk_point(float(parts[0]), float(parts[1]))
+    if len(parts) == 4:
+        # legacy arg order: minX minY maxX maxY
+        return _mk_rect(float(parts[0]), float(parts[2]),
+                        float(parts[1]), float(parts[3]), geo)
+    raise WktParseError(f"unknown legacy shape: {text[:50]!r}")
+
+
+def parse_legacy_columns(texts, geo: bool = True) -> dict:
+    """Columnar batch parse of the legacy format (same output layout as
+    parse_wkt_columns)."""
+    import pandas as pd
+
+    s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts), dtype=object)
+    n = len(s)
+    kind = np.zeros(n, dtype=np.int8)
+    x = np.full(n, np.nan); y = np.full(n, np.nan)
+    radius = np.full(n, np.nan)
+    minx = np.full(n, np.nan); maxx = np.full(n, np.nan)
+    miny = np.full(n, np.nan); maxy = np.full(n, np.nan)
+    xs: list = [None] * n
+    ys: list = [None] * n
+    ring_offsets: list = [None] * n
+    error: list = [None] * n
+    vals = s.to_numpy(dtype=object)
+    for i in range(n):
+        if vals[i] is None:
+            error[i] = "null"
+            continue
+        try:
+            rec = parse_legacy(str(vals[i]), geo)
+            kind[i] = rec["kind"]
+            x[i] = rec["x"]; y[i] = rec["y"]; radius[i] = rec["radius"]
+            minx[i] = rec["minx"]; maxx[i] = rec["maxx"]
+            miny[i] = rec["miny"]; maxy[i] = rec["maxy"]
+        except Exception as e:  # noqa: BLE001
+            error[i] = str(e)[:200]
+    return dict(kind=kind, x=x, y=y, radius=radius, minx=minx, maxx=maxx,
+                miny=miny, maxy=maxy, xs=xs, ys=ys, ring_offsets=ring_offsets,
+                error=error)
