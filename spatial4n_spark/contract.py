@@ -301,7 +301,7 @@ def q_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.strategy import plan_point_shape_join
     pts = customer_points(spark, sf_dir)
     rects = nation_rects(spark, sf_dir)
-    plan = plan_point_shape_join(10_000_000, 25, 34.0, 18.0)
+    plan = plan_point_shape_join(10_000_000, 25, 34.0, 18.0, shape_kinds=(2,))
     out = point_in_shape_join(pts, rects, plan)
     return out.select("c_custkey", "rect_id", "x", "y")
 

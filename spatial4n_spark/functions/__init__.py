@@ -365,3 +365,50 @@ def st_norm_lat(lat: pd.Series) -> pd.Series:
     """Fold latitude into [-90,90] (DistanceUtils.cs:308-314)."""
     from ..kernels.normalize import norm_lat_deg
     return pd.Series(norm_lat_deg(lat.to_numpy()))
+
+
+# ---------------------------------------------------------------------------
+# JVM-side cell code: whole-stage-codegen geohash bit interleave
+# ---------------------------------------------------------------------------
+
+def _spread_bits32(v):
+    """Interleave-spread a <=32-bit Column value: bit i -> bit 2i.
+
+    Classic Morton magic-mask ladder — 15 long bitwise ops, all inside
+    whole-stage codegen."""
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def _axis_idx_col(coord, lo: float, span: float, bits: int):
+    """Closed-form cell index along one axis: ceil(t*2^bits)-1 clamped.
+
+    Same closed form as the DuckDB oracle (contract._lon_idx_sql);
+    equivalent to the kernel's exact interval bisection (strictly-
+    greater goes high) for all non-pathological doubles."""
+    n = 1 << bits
+    v = F.ceil((coord + F.lit(-lo)) / F.lit(span) * F.lit(float(n))).cast("long") - 1
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), v))
+
+
+def st_cell_code_col(lat, lon, precision: int):
+    """Int64 geohash cell code as a PURE Column expression (no UDF).
+
+    Bit-identical to kernels.geohash.cell_code: lon takes ceil(5p/2)
+    bits, lat floor(5p/2), interleaved lon-first from the MSB. Keeps
+    the entire point side of the spatial join in whole-stage codegen —
+    zero Arrow exchanges for cell assignment.
+    """
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    li = _spread_bits32(_axis_idx_col(lon, -180.0, 360.0, lon_bits))
+    ti = _spread_bits32(_axis_idx_col(lat, -90.0, 180.0, lat_bits))
+    if nbits % 2 == 1:
+        # odd total: lon occupies even bit positions (LSB-indexed)
+        return li.bitwiseOR(F.shiftleft(ti, 1)).cast("long")
+    return ti.bitwiseOR(F.shiftleft(li, 1)).cast("long")

@@ -28,12 +28,15 @@ def with_point_cell(points: DataFrame, x: str = "x", y: str = "y",
                     codes: bool = True) -> DataFrame:
     """Assign each point its (single) cell.
 
-    codes=True (default) uses the int64 interleaved-bit cell code — the
-    join fast path (int hash keys, no base32 string materialization);
-    codes=False produces the reference-compatible geohash string.
+    codes=True (default) uses the int64 interleaved-bit cell code
+    computed as a PURE Column expression (Morton bit-spread, whole-stage
+    codegen, zero Arrow exchange) — the join fast path. codes=False
+    produces the reference-compatible geohash string via the kernel.
     """
-    fn = SF.st_cell_code if codes else SF.st_cell
-    return points.withColumn(cell_col, fn(F.col(y), F.col(x), precision))
+    if codes:
+        return points.withColumn(
+            cell_col, SF.st_cell_code_col(F.col(y), F.col(x), precision))
+    return points.withColumn(cell_col, SF.st_cell(F.col(y), F.col(x), precision))
 
 
 def with_shape_cover(shapes: DataFrame, shape_col: str = "shape",
@@ -93,13 +96,21 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     maxx_u = F.when(s["maxx"] < s["minx"], s["maxx"] + 360.0).otherwise(s["maxx"])
     bbox_ok = (py >= s["miny"]) & (py <= s["maxy"]) & \
               (px_shift >= s["minx"]) & (px_shift <= maxx_u)
-    # single UDF instance in the Filter (withColumn+where would make
-    # Catalyst evaluate the kernel twice); relation is CONTAINS by
-    # construction after the filter
-    refined = (joined
-               .where(bbox_ok)
-               .where(SF.st_relate_shape_point(s, px, py) == REL.CONTAINS)
-               .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
+    # Rect-only build side: the bbox gate above IS the exact
+    # dateline-aware closed-rect containment (RectangleImpl.cs:176-209)
+    # — same comparisons, boundaries-in — so the Python refine is a
+    # no-op filter and is skipped; the join is then 100% JVM codegen
+    # downstream of the WKT parse. Otherwise: single UDF instance in
+    # the Filter (withColumn+where would make Catalyst evaluate the
+    # kernel twice); relation is CONTAINS by construction.
+    gated = joined.where(bbox_ok)
+    kinds = plan.shape_kinds
+    if kinds is not None and set(kinds) <= {2}:  # KIND_RECT only
+        refined = gated.withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint"))
+    else:
+        refined = (gated
+                   .where(SF.st_relate_shape_point(s, px, py) == REL.CONTAINS)
+                   .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
     refined = refined.drop("cover_cell", "__salt")
     if how == "inner":
         return refined

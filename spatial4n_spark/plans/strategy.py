@@ -19,6 +19,12 @@ class JoinPlan:
     broadcast_shapes: bool    # broadcast the (exploded) shape-cover side
     salt: int | None          # point-side salt fanout for hot cells, or None
     max_cover_cells: int      # safety cap per shape at this level
+    # shape kinds present on the build side, if known at plan time
+    # (e.g. (2,) = rects only). When all kinds are RECT, the JVM bbox
+    # gate IS the exact dateline-aware closed-rect containment test
+    # (RectangleImpl.cs:176-209), so the Python refine kernel is
+    # skipped entirely — the whole join stays in whole-stage codegen.
+    shape_kinds: tuple | None = None
 
 
 def pick_cell_level(median_width_deg: float, median_height_deg: float,
@@ -46,7 +52,8 @@ def plan_point_shape_join(n_points: int, n_shapes: int,
                           median_width_deg: float, median_height_deg: float,
                           shape_bytes_estimate: int = 1024,
                           broadcast_threshold: int = 64 * 1024 * 1024,
-                          hot_cell_ratio: float | None = None) -> JoinPlan:
+                          hot_cell_ratio: float | None = None,
+                          shape_kinds: tuple | None = None) -> JoinPlan:
     """Plan the coarse/refine spatial join.
 
     - level from median shape size;
@@ -64,4 +71,4 @@ def plan_point_shape_join(n_points: int, n_shapes: int,
     if not broadcast and hot_cell_ratio is not None and hot_cell_ratio > 0.05:
         salt = 16
     return JoinPlan(precision=precision, broadcast_shapes=broadcast,
-                    salt=salt, max_cover_cells=4096)
+                    salt=salt, max_cover_cells=4096, shape_kinds=shape_kinds)

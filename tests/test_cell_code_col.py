@@ -1,0 +1,60 @@
+"""JVM-side cell code (Morton column expression) vs the NumPy kernel,
+and the rect-only join fast path vs the kernel-refine path."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark import functions as SF
+from spatial4n_spark.kernels.geohash import cell_code
+
+
+@pytest.mark.parametrize("precision", [1, 2, 4, 5, 6, 7, 9, 12])
+def test_cell_code_col_bit_identical(spark, precision):
+    rng = np.random.default_rng(42)
+    lon = np.concatenate([rng.uniform(-180, 180, 5000),
+                          [-180.0, 180.0, 0.0, 11.25, -11.25, 90.0, -90.0,
+                           179.999999, -179.999999]])
+    lat = np.concatenate([rng.uniform(-90, 90, 5000),
+                          [-90.0, 90.0, 0.0, 45.0, -45.0, 22.5, -22.5,
+                           89.999999, -89.999999]])
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got = np.array(
+        df.select(SF.st_cell_code_col(F.col("lat"), F.col("lon"),
+                                      precision).alias("c"))
+          .toPandas()["c"], dtype=np.int64)
+    want = cell_code(lat, lon, precision)
+    assert np.array_equal(got, want)
+
+
+def test_cell_code_col_no_python_in_plan(spark):
+    df = spark.range(10).selectExpr("cast(id as double) as x",
+                                    "cast(id as double) as y")
+    out = df.select(SF.st_cell_code_col(F.col("y"), F.col("x"), 6))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rect_fast_path_equals_kernel_refine(spark):
+    """shape_kinds=(2,) skips the Python refine; the result row set must
+    equal the kernel-refined join on dateline-crossing rects."""
+    import dataclasses
+
+    from spatial4n_spark import contract
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import plan_point_shape_join
+
+    sf = "/root/testdata/sf0.001"
+    pts = contract.customer_points(spark, sf)
+    rects = contract.nation_rects(spark, sf)
+    plan_fast = plan_point_shape_join(1500, 25, 34.0, 18.0, shape_kinds=(2,))
+    plan_kern = dataclasses.replace(plan_fast, shape_kinds=None)
+
+    fast = {(r.c_custkey, r.rect_id) for r in
+            point_in_shape_join(pts, rects, plan_fast)
+            .select("c_custkey", "rect_id").collect()}
+    kern = {(r.c_custkey, r.rect_id) for r in
+            point_in_shape_join(pts, rects, plan_kern)
+            .select("c_custkey", "rect_id").collect()}
+    assert fast == kern
+    assert len(fast) > 0
