@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs": c.q_distance_pairs,
         "dwithin_join": c.q_dwithin_join,
         "knn": c.q_knn,
+        "knn_rings": c.q_knn_rings,
         # --- tiling ---
         "tile_assign": c.q_tile_assign,
         "cell_rollup": c.q_cell_rollup,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_pairs": c.ORACLE_DISTANCE,
         "dwithin_join": c.ORACLE_DWITHIN,
         "knn": c.ORACLE_KNN,
+        "knn_rings": c.ORACLE_KNN_RINGS,
         "tile_assign": c.ORACLE_TILE,
         "cell_rollup": c.ORACLE_ROLLUP,
         "cover_cells": c.ORACLE_COVER,

@@ -1282,3 +1282,31 @@ SELECT o_orderkey,
                        ELSE 360.0 - lat_off END) - 90.0 END AS lat_n
 FROM m
 """
+
+
+def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN via iterative cell-window expansion — no radius bound
+    (operators/knn_rings.py). Ranking: exact Vincenty + id tie-break,
+    identical to the relational oracle's full cross-join kNN."""
+    from .operators.knn_rings import knn_ring_join
+    pts = customer_points(spark, sf_dir).withColumnRenamed("c_custkey", "point_id")
+    qs = supplier_circles(spark, sf_dir).selectExpr(
+        "circle_id AS query_id", "cx AS qx", "cy AS qy")
+    out = knn_ring_join(pts, qs, k=5, precision=2,
+                        query_id="query_id", tie_break="point_id")
+    return out.select(F.col("query_id").alias("circle_id"),
+                      F.col("point_id").alias("c_custkey"),
+                      F.col("knn_rank").cast("int").alias("knn_rank"))
+
+
+ORACLE_KNN_RINGS = f"""
+WITH {_CTE_POINTS}, {_CTE_CIRCLES},
+cand AS (
+  SELECT circle_id, c_custkey, {_vin('x', 'y', 'cx', 'cy')} AS dv
+  FROM pts CROSS JOIN circles
+)
+SELECT circle_id, c_custkey,
+       CAST(row_number() OVER (PARTITION BY circle_id ORDER BY dv, c_custkey) AS INT) AS knn_rank
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY circle_id ORDER BY dv, c_custkey) <= 5
+"""

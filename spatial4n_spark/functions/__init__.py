@@ -412,3 +412,34 @@ def st_cell_code_col(lat, lon, precision: int):
         # odd total: lon occupies even bit positions (LSB-indexed)
         return li.bitwiseOR(F.shiftleft(ti, 1)).cast("long")
     return ti.bitwiseOR(F.shiftleft(li, 1)).cast("long")
+
+
+def st_cover_codes_col(minx, maxx, miny, maxy, precision: int):
+    """Int64-code tile cover of a bbox as a PURE Column expression.
+
+    Same cell set as kernels.geohash.cover_codes_bbox (grid range
+    between the corner cells, dateline-aware lon wrap), built with
+    sequence/transform/flatten + the Morton spread — no Python on the
+    shape side of the join either.
+    """
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_n = 1 << lon_bits
+    li0 = _axis_idx_col(minx, -180.0, 360.0, lon_bits)
+    li1 = _axis_idx_col(maxx, -180.0, 360.0, lon_bits)
+    ti0 = _axis_idx_col(miny, -90.0, 180.0, lat_bits)
+    ti1 = _axis_idx_col(maxy, -90.0, 180.0, lat_bits)
+    lon_seq = F.when(minx <= maxx, F.sequence(li0, li1)).otherwise(
+        F.concat(F.sequence(li0, F.lit(lon_n - 1)), F.sequence(F.lit(0), li1)))
+
+    def morton(li, ti):
+        sl = _spread_bits32(li.cast("long"))
+        st = _spread_bits32(ti.cast("long"))
+        if nbits % 2 == 1:
+            return sl.bitwiseOR(F.shiftleft(st, 1)).cast("long")
+        return st.bitwiseOR(F.shiftleft(sl, 1)).cast("long")
+
+    return F.flatten(F.transform(
+        lon_seq, lambda li: F.transform(F.sequence(ti0, ti1),
+                                        lambda ti: morton(li, ti))))

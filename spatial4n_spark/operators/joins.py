@@ -46,12 +46,19 @@ def with_shape_cover(shapes: DataFrame, shape_col: str = "shape",
 
     The bbox is the shape struct's materialized minx/maxx/miny/maxy
     (dateline-aware), so circles/polygons/rects all cover correctly.
+    codes=True builds int64 codes with the pure-JVM grid-range
+    expression (no Python on the shape side); codes=False produces
+    reference-compatible geohash strings via the kernel.
     """
     s = F.col(shape_col)
-    fn = SF.st_cover_codes if codes else SF.st_cover_cells
+    if codes:
+        cells = SF.st_cover_codes_col(s["minx"], s["maxx"],
+                                      s["miny"], s["maxy"], precision)
+    else:
+        cells = SF.st_cover_cells(s["minx"], s["maxx"],
+                                  s["miny"], s["maxy"], precision)
     return (shapes
-            .withColumn("__cells", fn(s["minx"], s["maxx"],
-                                      s["miny"], s["maxy"], precision))
+            .withColumn("__cells", cells)
             .withColumn(cover_col, F.explode("__cells"))
             .drop("__cells"))
 
@@ -138,7 +145,7 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Col
     box = SF.st_circle_bbox(qx, qy, radius_deg if isinstance(radius_deg, Column)
                             else F.lit(float(radius_deg)))
     q = queries.withColumn("__box", box)
-    q = (q.withColumn("__cells", SF.st_cover_codes(
+    q = (q.withColumn("__cells", SF.st_cover_codes_col(
             F.col("__box.minx"), F.col("__box.maxx"),
             F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
           .withColumn("cover_cell", F.explode("__cells"))
