@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- spatial joins / relates ---
         "pip_rect_join": c.q_pip_rect_join,
         "polygon_pip_join": c.q_polygon_pip_join,
+        "polygon_circle_relate": c.q_polygon_circle_relate,
+        "polygon_rect_relate": c.q_polygon_rect_relate,
         "rect_rect_relate": c.q_rect_rect_relate,
         "circle_rect_relate": c.q_circle_rect_relate,
         "distance_pairs": c.q_distance_pairs,
@@ -50,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- WKT codec ---
         "wkt_point_roundtrip": c.q_wkt_point_roundtrip,
         "wkt_envelope_parse": c.q_wkt_envelope_parse,
+        "wkt_writer_roundtrip": c.q_wkt_writer_roundtrip,
+        "wkt_multipoint": c.q_wkt_multipoint,
         # --- interleaved-span invariant ---
         "span_integrity": c.q_span_integrity,
         # --- training-data ops: dedup ---
@@ -88,6 +92,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_rect_join": c.ORACLE_PIP_RECT,
         "polygon_pip_join": c.ORACLE_POLYGON_PIP,
+        "polygon_circle_relate": c.ORACLE_POLYGON_CIRCLE,
+        "polygon_rect_relate": c.ORACLE_POLYGON_RECT,
         "rect_rect_relate": c.ORACLE_RECT_RECT,
         "circle_rect_relate": c.ORACLE_CIRCLE_RECT,
         "distance_pairs": c.ORACLE_DISTANCE,
@@ -99,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "cover_cells": c.ORACLE_COVER,
         "wkt_point_roundtrip": c.ORACLE_WKT_POINT,
         "wkt_envelope_parse": c.ORACLE_WKT_ENVELOPE,
+        "wkt_writer_roundtrip": c.ORACLE_WKT_WRITER,
+        "wkt_multipoint": c.ORACLE_WKT_MULTIPOINT,
         "span_integrity": c.ORACLE_SPAN,
         "dedup_exact": c.ORACLE_DEDUP_EXACT,
         "ngram_jaccard": c.ORACLE_NGRAM_JACCARD,

@@ -1310,3 +1310,220 @@ SELECT circle_id, c_custkey,
 FROM cand
 QUALIFY row_number() OVER (PARTITION BY circle_id ORDER BY dv, c_custkey) <= 5
 """
+
+
+# bounded band for the polygon<->circle relate (oracle needs a
+# pole/dateline-free GeoCircle: |ccy|+r <= 78, |ccx|+dlon <= 165)
+TCX = "(((s_suppkey * 7907) % 40000) / cast(200.0 as double) - 100.0)"
+TCY = "(((s_suppkey * 7919) % 20000) / cast(200.0 as double) - 50.0)"
+PCCX = f"({TCX} + (s_suppkey % 29))"
+PCCY = f"({TCY} - 10.0 + (s_suppkey % 23))"
+PCCR = "(cast(2.0 as double) + (s_suppkey * 31) % 14)"
+
+
+def q_polygon_circle_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon.Relate(circle) — vertex-counting (NtsGeometry.cs:248-275)
+    over WKT-parsed triangles vs per-supplier circles."""
+    from . import functions as SF
+    tri = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS poly_id",
+        f"{TCX} AS x1t", f"({TCY} - 10.0) AS y1t",
+        f"({TCX} + 24.0) AS x2t", f"({TCY} - 10.0) AS y2t",
+        f"({TCX} + 12.0) AS x3t", f"({TCY} + 14.0) AS y3t",
+        f"{PCCX} AS ccx", f"{PCCY} AS ccy", f"{PCCR} AS ccr")
+    wkt = F.expr("concat('POLYGON((', cast(x1t as string), ' ', cast(y1t as string), ', ',"
+                 " cast(x2t as string), ' ', cast(y2t as string), ', ',"
+                 " cast(x3t as string), ' ', cast(y3t as string), ', ',"
+                 " cast(x1t as string), ' ', cast(y1t as string), '))')")
+    polys = tri.withColumn("shape", SF.st_from_wkt(wkt))
+    s = F.col("shape")
+    rel = SF.st_relate_polygon_circle(
+        s["xs"], s["ys"], s["ring_offsets"],
+        s["minx"], s["maxx"], s["miny"], s["maxy"],
+        F.col("ccx"), F.col("ccy"), F.col("ccr"))
+    return polys.select("poly_id", rel.cast("int").alias("rel"))
+
+
+def _transpose_sql(rel: str) -> str:
+    return f"(CASE WHEN {rel} = 1 THEN 2 WHEN {rel} = 2 THEN 1 ELSE {rel} END)"
+
+
+ORACLE_POLYGON_CIRCLE = f"""
+WITH tri AS (
+  SELECT s_suppkey AS poly_id,
+         {TCX} AS x1t, ({TCY} - 10.0) AS y1t,
+         ({TCX} + 24.0) AS x2t, ({TCY} - 10.0) AS y2t,
+         ({TCX} + 12.0) AS x3t, ({TCY} + 14.0) AS y3t,
+         {PCCX} AS ccx, {PCCY} AS ccy, {PCCR} AS ccr
+  FROM supplier
+),
+bb AS (
+  SELECT *, least(x1t, x2t, x3t) AS bminx, greatest(x1t, x2t, x3t) AS bmaxx,
+         least(y1t, y2t, y3t) AS bminy, greatest(y1t, y2t, y3t) AS bmaxy
+  FROM tri
+),
+ph AS (
+  SELECT poly_id, ccx, ccy, ccr, x1t, y1t, x2t, y2t, x3t, y3t,
+         {_transpose_sql(_circle_relate_rect_sql('ccx', 'ccy', 'ccr', 'bminx', 'bmaxx', 'bminy', 'bmaxy'))} AS bbr,
+         (CASE WHEN {_hav('ccx', 'ccy', 'x1t', 'y1t')} <= ccr THEN 0 ELSE 1 END
+        + CASE WHEN {_hav('ccx', 'ccy', 'x2t', 'y2t')} <= ccr THEN 0 ELSE 1 END
+        + CASE WHEN {_hav('ccx', 'ccy', 'x3t', 'y3t')} <= ccr THEN 0 ELSE 1 END
+        + CASE WHEN {_hav('ccx', 'ccy', 'x1t', 'y1t')} <= ccr THEN 0 ELSE 1 END) AS n_out,
+         (((x2t - x1t) * (ccy - y1t) - (y2t - y1t) * (ccx - x1t)) >= 0
+          AND ((x3t - x2t) * (ccy - y2t) - (y3t - y2t) * (ccx - x2t)) >= 0
+          AND ((x1t - x3t) * (ccy - y3t) - (y1t - y3t) * (ccx - x3t)) >= 0) AS center_in
+  FROM bb
+)
+SELECT poly_id,
+       CAST(CASE WHEN bbr = 1 OR bbr = 3 THEN bbr
+                 WHEN n_out > 0 AND n_out < 4 THEN 4
+                 WHEN n_out = 4 THEN (CASE WHEN center_in THEN 2 ELSE 3 END)
+                 ELSE 1 END AS INT) AS rel
+FROM ph
+"""
+
+
+# rects for the polygon<->rect relate, same band as the TCX triangles
+# offsets chosen incommensurate with the triangle's vertex grid and
+# slope-2 edges so exact boundary touches cannot occur (the simplified
+# proper-cross oracle would miss touch-INTERSECTS; kernel counts them)
+PRMINX = f"({TCX} + (s_suppkey % 37) - 6.31)"
+PRMAXX = f"({PRMINX} + 4.77 + (s_suppkey % 19))"
+PRMINY = f"({TCY} - 12.53 + (s_suppkey % 21))"
+PRMAXY = f"({PRMINY} + 3.29 + (s_suppkey % 13))"
+
+
+def q_polygon_rect_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon.Relate(rect), COVERS semantics — WKT-parsed triangles vs
+    derived rects (NtsGeometry.cs:303-314 mapping)."""
+    from . import functions as SF
+    tri = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS poly_id",
+        f"{TCX} AS x1t", f"({TCY} - 10.0) AS y1t",
+        f"({TCX} + 24.0) AS x2t", f"({TCY} - 10.0) AS y2t",
+        f"({TCX} + 12.0) AS x3t", f"({TCY} + 14.0) AS y3t",
+        f"{PRMINX} AS rminx", f"{PRMAXX} AS rmaxx",
+        f"{PRMINY} AS rminy", f"{PRMAXY} AS rmaxy")
+    wkt = F.expr("concat('POLYGON((', cast(x1t as string), ' ', cast(y1t as string), ', ',"
+                 " cast(x2t as string), ' ', cast(y2t as string), ', ',"
+                 " cast(x3t as string), ' ', cast(y3t as string), ', ',"
+                 " cast(x1t as string), ' ', cast(y1t as string), '))')")
+    polys = tri.withColumn("shape", SF.st_from_wkt(wkt))
+    s = F.col("shape")
+    rel = SF.st_relate_polygon_rect(
+        s["xs"], s["ys"], s["ring_offsets"],
+        F.col("rminx"), F.col("rmaxx"), F.col("rminy"), F.col("rmaxy"))
+    return polys.select("poly_id", rel.cast("int").alias("rel"))
+
+
+def _tri_covers_point_sql(px, py) -> str:
+    """CCW triangle (x1t..y3t) covers point — boundary in."""
+    return (f"(((x2t - x1t) * ({py} - y1t) - (y2t - y1t) * ({px} - x1t)) >= 0"
+            f" AND ((x3t - x2t) * ({py} - y2t) - (y3t - y2t) * ({px} - x2t)) >= 0"
+            f" AND ((x1t - x3t) * ({py} - y3t) - (y1t - y3t) * ({px} - x3t)) >= 0)")
+
+
+def _edges_cross_sql() -> str:
+    """Any triangle edge properly crossing any rect edge."""
+    tri_edges = [("x1t", "y1t", "x2t", "y2t"), ("x2t", "y2t", "x3t", "y3t"),
+                 ("x3t", "y3t", "x1t", "y1t")]
+    rect_edges = [("rminx", "rminy", "rmaxx", "rminy"),
+                  ("rmaxx", "rminy", "rmaxx", "rmaxy"),
+                  ("rmaxx", "rmaxy", "rminx", "rmaxy"),
+                  ("rminx", "rmaxy", "rminx", "rminy")]
+    terms = []
+    for (ax, ay, bx, by) in tri_edges:
+        for (cx, cy, dx, dy) in rect_edges:
+            d1 = f"(({bx} - {ax}) * ({cy} - {ay}) - ({by} - {ay}) * ({cx} - {ax}))"
+            d2 = f"(({bx} - {ax}) * ({dy} - {ay}) - ({by} - {ay}) * ({dx} - {ax}))"
+            d3 = f"(({dx} - {cx}) * ({ay} - {cy}) - ({dy} - {cy}) * ({ax} - {cx}))"
+            d4 = f"(({dx} - {cx}) * ({by} - {cy}) - ({dy} - {cy}) * ({bx} - {cx}))"
+            terms.append(f"(({d1} > 0) <> ({d2} > 0) AND ({d3} > 0) <> ({d4} > 0)"
+                         f" AND {d1} <> 0 AND {d2} <> 0 AND {d3} <> 0 AND {d4} <> 0)")
+    return "(" + " OR ".join(terms) + ")"
+
+
+ORACLE_POLYGON_RECT = f"""
+WITH tri AS (
+  SELECT s_suppkey AS poly_id,
+         {TCX} AS x1t, ({TCY} - 10.0) AS y1t,
+         ({TCX} + 24.0) AS x2t, ({TCY} - 10.0) AS y2t,
+         ({TCX} + 12.0) AS x3t, ({TCY} + 14.0) AS y3t,
+         {PRMINX} AS rminx, {PRMAXX} AS rmaxx,
+         {PRMINY} AS rminy, {PRMAXY} AS rmaxy
+  FROM supplier
+),
+ph AS (
+  SELECT poly_id,
+         (least(x1t, x2t, x3t) > rmaxx OR greatest(x1t, x2t, x3t) < rminx OR
+          least(y1t, y2t, y3t) > rmaxy OR greatest(y1t, y2t, y3t) < rminy) AS bbox_dis,
+         ({_tri_covers_point_sql('rminx', 'rminy')}
+          AND {_tri_covers_point_sql('rminx', 'rmaxy')}
+          AND {_tri_covers_point_sql('rmaxx', 'rminy')}
+          AND {_tri_covers_point_sql('rmaxx', 'rmaxy')}) AS corners_all,
+         ({_tri_covers_point_sql('rminx', 'rminy')}
+          OR {_tri_covers_point_sql('rminx', 'rmaxy')}
+          OR {_tri_covers_point_sql('rmaxx', 'rminy')}
+          OR {_tri_covers_point_sql('rmaxx', 'rmaxy')}) AS corners_any,
+         (x1t >= rminx AND x1t <= rmaxx AND y1t >= rminy AND y1t <= rmaxy AND
+          x2t >= rminx AND x2t <= rmaxx AND y2t >= rminy AND y2t <= rmaxy AND
+          x3t >= rminx AND x3t <= rmaxx AND y3t >= rminy AND y3t <= rmaxy) AS verts_in,
+         {_edges_cross_sql()} AS cross_any
+  FROM tri
+)
+SELECT poly_id,
+       CAST(CASE WHEN bbox_dis THEN 3
+                 WHEN corners_all AND NOT cross_any THEN 2
+                 WHEN verts_in THEN 1
+                 WHEN corners_any OR cross_any THEN 4
+                 ELSE 3 END AS INT) AS rel
+FROM ph
+"""
+
+
+def q_wkt_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse -> format round-trip through the WKT writer (fixed 4-dec
+    formatting so DuckDB's printf reproduces the exact string)."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir)
+    wkt_in = F.expr("concat('POINT (', cast(x as string), ' ', cast(y as string), ')')")
+    parsed = pts.withColumn("shape", SF.st_from_wkt(wkt_in))
+    return parsed.select(
+        "c_custkey", SF.st_to_wkt(F.col("shape"), decimals=4).alias("wkt"))
+
+
+ORACLE_WKT_WRITER = f"""
+WITH {_CTE_POINTS}
+SELECT c_custkey,
+       printf('POINT (%.4f %.4f)', x, y) AS wkt
+FROM pts
+"""
+
+
+def q_wkt_multipoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPOINT grammar: build -> parse -> explode member points."""
+    from . import functions as SF
+    src = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{SCX} AS ax", f"{SCY} AS ay",
+        f"({SCX} + 5.0) AS bx", f"({SCY} - 3.0) AS by")
+    wkt = F.expr("concat('MULTIPOINT ((', cast(ax as string), ' ', cast(ay as string), "
+                 "'), (', cast(bx as string), ' ', cast(by as string), '))')")
+    parsed = src.withColumn("shape", SF.st_from_wkt(wkt))
+    s = F.col("shape")
+    ex = parsed.select(
+        "s_suppkey",
+        F.posexplode(F.arrays_zip(s["xs"], s["ys"])).alias("idx", "pt"))
+    return ex.select("s_suppkey", F.col("idx").cast("int").alias("idx"),
+                     F.col("pt.xs").alias("px"), F.col("pt.ys").alias("py"))
+
+
+ORACLE_WKT_MULTIPOINT = f"""
+WITH src AS (
+  SELECT s_suppkey, {SCX} AS ax, {SCY} AS ay,
+         ({SCX} + 5.0) AS bx, ({SCY} - 3.0) AS by
+  FROM supplier
+)
+SELECT s_suppkey, 0 AS idx, ax AS px, ay AS py FROM src
+UNION ALL
+SELECT s_suppkey, 1 AS idx, bx AS px, by AS py FROM src
+"""

@@ -443,3 +443,67 @@ def st_cover_codes_col(minx, maxx, miny, maxy, precision: int):
     return F.flatten(F.transform(
         lon_seq, lambda li: F.transform(F.sequence(ti0, ti1),
                                         lambda ti: morton(li, ti))))
+
+
+@pandas_udf(ByteType())
+def st_relate_polygon_circle(xs: pd.Series, ys: pd.Series,
+                             ring_offsets: pd.Series,
+                             minx: pd.Series, maxx: pd.Series,
+                             miny: pd.Series, maxy: pd.Series,
+                             cx: pd.Series, cy: pd.Series,
+                             r: pd.Series) -> pd.Series:
+    """Polygon.Relate(circle) vertex-counting (NtsGeometry.cs:248-275)."""
+    from ..kernels.pip import relate_polygon_circle
+    out = np.empty(len(xs), dtype=np.int8)
+    for i in range(len(xs)):
+        ro = ring_offsets.iloc[i]
+        out[i] = relate_polygon_circle(
+            np.asarray(xs.iloc[i]), np.asarray(ys.iloc[i]),
+            np.asarray(ro) if ro is not None else None,
+            float(minx.iloc[i]), float(maxx.iloc[i]),
+            float(miny.iloc[i]), float(maxy.iloc[i]),
+            float(cx.iloc[i]), float(cy.iloc[i]), float(r.iloc[i]))
+    return pd.Series(out)
+
+
+@pandas_udf(ByteType())
+def st_relate_polygon_rect(xs: pd.Series, ys: pd.Series,
+                           ring_offsets: pd.Series,
+                           minx: pd.Series, maxx: pd.Series,
+                           miny: pd.Series, maxy: pd.Series) -> pd.Series:
+    """Polygon.Relate(rect), COVERS semantics (NtsGeometry.cs:303-314
+    via from-scratch primitives)."""
+    from ..kernels.pip import relate_polygon_rect
+    out = np.empty(len(xs), dtype=np.int8)
+    for i in range(len(xs)):
+        ro = ring_offsets.iloc[i]
+        out[i] = relate_polygon_rect(
+            np.asarray(xs.iloc[i]), np.asarray(ys.iloc[i]),
+            np.asarray(ro) if ro is not None else None,
+            float(minx.iloc[i]), float(maxx.iloc[i]),
+            float(miny.iloc[i]), float(maxy.iloc[i]))
+    return pd.Series(out)
+
+
+def make_st_to_wkt(decimals: int | None = None):
+    """WKT formatter UDF factory (shape struct -> text)."""
+    @pandas_udf(StringType())
+    def _to_wkt(kind: pd.Series, x: pd.Series, y: pd.Series,
+                radius: pd.Series, minx: pd.Series, maxx: pd.Series,
+                miny: pd.Series, maxy: pd.Series, xs: pd.Series,
+                ys: pd.Series, ring_offsets: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(kind)):
+            out.append(_wkt.format_wkt(
+                int(kind.iloc[i]), x.iloc[i], y.iloc[i], radius.iloc[i],
+                minx.iloc[i], maxx.iloc[i], miny.iloc[i], maxy.iloc[i],
+                xs.iloc[i], ys.iloc[i], ring_offsets.iloc[i], decimals))
+        return pd.Series(out)
+    return _to_wkt
+
+
+def st_to_wkt(shape_col, decimals: int | None = None):
+    s = shape_col
+    return make_st_to_wkt(decimals)(
+        s["kind"], s["x"], s["y"], s["radius"], s["minx"], s["maxx"],
+        s["miny"], s["maxy"], s["xs"], s["ys"], s["ring_offsets"])

@@ -224,3 +224,36 @@ def relate_polygon_rect(xs, ys, ring_offsets, minx, maxx, miny, maxy) -> int:
     if corners_in.any() or any_cross:
         return INTERSECTS
     return DISJOINT
+
+
+def relate_polygon_circle(xs, ys, ring_offsets, minx, maxx, miny, maxy,
+                          cx, cy, r, geo: bool = True) -> int:
+    """Polygon.Relate(circle) — the reference's vertex-counting
+    algorithm (NtsGeometry.cs:248-275):
+
+    1. bbox gate: rect.Relate(circle) (= transpose of the GeoCircle
+       machine); WITHIN/DISJOINT short-circuit.
+    2. Count vertices outside the circle; mixed => INTERSECTS.
+    3. All outside => DISJOINT unless the polygon covers the circle's
+       center (then CONTAINS). None outside => WITHIN.
+    """
+    from .relate_circle import circle_contains_xy, relate_circle_rect
+    from .relation import (CONTAINS, DISJOINT, INTERSECTS, WITHIN,
+                           transpose)
+
+    bbox_r = int(transpose(relate_circle_rect(
+        cx, cy, r, minx, maxx, miny, maxy, geo=geo))[0])
+    if bbox_r in (WITHIN, DISJOINT):
+        return bbox_r
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = circle_contains_xy(np.full(xs.shape, cx), np.full(xs.shape, cy),
+                                np.full(xs.shape, r), xs, ys, geo=geo)
+    n_out = int((~inside).sum())
+    if 0 < n_out < xs.size:
+        return INTERSECTS
+    if n_out == xs.size:
+        center_in = bool(points_in_polygon(
+            np.array([cx]), np.array([cy]), xs, ys, ring_offsets)[0])
+        return CONTAINS if center_in else DISJOINT
+    return WITHIN

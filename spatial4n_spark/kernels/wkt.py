@@ -632,3 +632,45 @@ def parse_legacy_columns(texts, geo: bool = True) -> dict:
     return dict(kind=kind, x=x, y=y, radius=radius, minx=minx, maxx=maxx,
                 miny=miny, maxy=maxy, xs=xs, ys=ys, ring_offsets=ring_offsets,
                 error=error)
+
+
+# ---------------------------------------------------------------------------
+# WKT writer (shape struct -> text; NtsSpatialContext.ToString analog,
+# ENVELOPE arg order per the parser's CQL convention, BUFFER extension)
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float, decimals: int | None) -> str:
+    if decimals is None:
+        s = repr(float(v))
+        return s[:-2] if s.endswith(".0") else s
+    return f"%.{decimals}f" % float(v)
+
+
+def format_wkt(kind: int, x, y, radius, minx, maxx, miny, maxy,
+               xs, ys, ring_offsets, decimals: int | None = None) -> str:
+    f = lambda v: _fmt(v, decimals)  # noqa: E731
+    if kind == KIND_POINT:
+        return f"POINT ({f(x)} {f(y)})"
+    if kind == KIND_RECT:
+        return f"ENVELOPE ({f(minx)}, {f(maxx)}, {f(maxy)}, {f(miny)})"
+    if kind == KIND_CIRCLE:
+        return f"BUFFER(POINT ({f(x)} {f(y)}), {f(radius)})"
+    if kind == KIND_MULTIPOINT:
+        pts = ", ".join(f"({f(a)} {f(b)})" for a, b in zip(xs, ys))
+        return f"MULTIPOINT ({pts})"
+    if kind == KIND_LINESTRING:
+        pts = ", ".join(f"{f(a)} {f(b)}" for a, b in zip(xs, ys))
+        base = f"LINESTRING ({pts})"
+        if radius and not np.isnan(radius) and radius > 0:
+            return f"BUFFER({base}, {f(radius)})"
+        return base
+    if kind in (KIND_POLYGON, KIND_MULTIPOLYGON):
+        ro = list(ring_offsets) if ring_offsets is not None else [0, len(xs)]
+        rings = []
+        for k in range(len(ro) - 1):
+            seg = ", ".join(f"{f(a)} {f(b)}"
+                            for a, b in zip(xs[ro[k]:ro[k + 1]],
+                                            ys[ro[k]:ro[k + 1]]))
+            rings.append(f"({seg})")
+        return "POLYGON (" + ", ".join(rings) + ")"
+    raise WktParseError(f"cannot format kind {kind}")

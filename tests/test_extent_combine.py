@@ -69,3 +69,41 @@ def test_flags_agg_equals_sequential_combine_fold(n):
     for combo in product(verdicts, repeat=n):
         seq = combine_reduce(np.array(combo, dtype=np.int8))
         assert seq == _flags_combined(combo), combo
+
+
+def test_polygon_circle_relate_all_verdicts():
+    """Vertex-counting Polygon.Relate(circle) (NtsGeometry.cs:248-275):
+    unit coverage of all four verdicts incl. the WITHIN branch the
+    contract data doesn't reach."""
+    import numpy as np
+
+    from spatial4n_spark.kernels.pip import relate_polygon_circle
+    tri = (np.array([0.0, 24.0, 12.0, 0.0]),
+           np.array([0.0, 0.0, 14.0, 0.0]), np.array([0, 4]))
+    bbox = (0.0, 24.0, 0.0, 14.0)
+    assert relate_polygon_circle(*tri, *bbox, 100.0, 50.0, 5.0) == DISJOINT
+    assert relate_polygon_circle(*tri, *bbox, 12.0, 5.0, 60.0) == WITHIN
+    assert relate_polygon_circle(*tri, *bbox, 12.0, 5.0, 0.5) == CONTAINS
+    assert relate_polygon_circle(*tri, *bbox, 0.0, 0.0, 8.0) == INTERSECTS
+
+
+def test_polygon_rect_relate_all_verdicts():
+    """Polygon.Relate(rect) COVERS semantics — all verdicts + touch."""
+    import numpy as np
+
+    from spatial4n_spark.kernels.pip import relate_polygon_rect
+    tri_x = np.array([0.0, 24.0, 12.0, 0.0])
+    tri_y = np.array([0.0, 0.0, 14.0, 0.0])
+    ro = np.array([0, 4])
+    # rect far away
+    assert relate_polygon_rect(tri_x, tri_y, ro, 50, 60, 50, 60) == DISJOINT
+    # rect fully inside triangle -> polygon CONTAINS rect
+    assert relate_polygon_rect(tri_x, tri_y, ro, 10, 13, 2, 4) == CONTAINS
+    # triangle fully inside big rect -> WITHIN
+    assert relate_polygon_rect(tri_x, tri_y, ro, -5, 30, -5, 20) == WITHIN
+    # partial overlap
+    assert relate_polygon_rect(tri_x, tri_y, ro, -5, 5, -5, 5) == INTERSECTS
+    # boundary touch only (rect's right edge passes through vertex 0)
+    assert relate_polygon_rect(tri_x, tri_y, ro, -5, 0, -2, 2) == INTERSECTS
+    # bbox overlaps but corner region empty -> DISJOINT
+    assert relate_polygon_rect(tri_x, tri_y, ro, -4, 1, 8, 13) == DISJOINT
