@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_envelope_parse": c.q_wkt_envelope_parse,
         "wkt_writer_roundtrip": c.q_wkt_writer_roundtrip,
         "wkt_multipoint": c.q_wkt_multipoint,
+        "geometrycollection_bbox": c.q_geometrycollection_bbox,
         # --- interleaved-span invariant ---
         "span_integrity": c.q_span_integrity,
         # --- training-data ops: dedup ---
@@ -78,12 +79,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_area": c.q_st_area,
         "point_on_bearing": c.q_point_on_bearing,
         "line_contains_join": c.q_line_contains_join,
+        "linestring_contains": c.q_linestring_contains,
         "extent_agg": c.q_extent_agg,
         "collection_relate": c.q_collection_relate,
         "circle_circle_relate": c.q_circle_circle_relate,
         # --- codecs / normalization ---
         "legacy_roundtrip": c.q_legacy_roundtrip,
         "normalize": c.q_normalize,
+        "xy_range_relate": c.q_xy_range_relate,
+        "cartesian_ops": c.q_cartesian_ops,
+        "unit_conversions": c.q_unit_conversions,
     }
 
 
@@ -107,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "wkt_envelope_parse": c.ORACLE_WKT_ENVELOPE,
         "wkt_writer_roundtrip": c.ORACLE_WKT_WRITER,
         "wkt_multipoint": c.ORACLE_WKT_MULTIPOINT,
+        "geometrycollection_bbox": c.ORACLE_GC_BBOX,
         "span_integrity": c.ORACLE_SPAN,
         "dedup_exact": c.ORACLE_DEDUP_EXACT,
         "ngram_jaccard": c.ORACLE_NGRAM_JACCARD,
@@ -124,9 +130,13 @@ def oracle_sql() -> dict[str, str]:
         "st_area": c.ORACLE_AREA,
         "point_on_bearing": c.ORACLE_BEARING,
         "line_contains_join": c.ORACLE_LINE,
+        "linestring_contains": c.ORACLE_LINESTRING,
         "extent_agg": c.ORACLE_EXTENT,
         "collection_relate": c.ORACLE_COLLECTION,
         "circle_circle_relate": c.ORACLE_CIRCLE_CIRCLE,
         "legacy_roundtrip": c.ORACLE_LEGACY,
         "normalize": c.ORACLE_NORM,
+        "xy_range_relate": c.ORACLE_XY_RANGE,
+        "cartesian_ops": c.ORACLE_CARTESIAN,
+        "unit_conversions": c.ORACLE_UNITS,
     }

@@ -1527,3 +1527,208 @@ SELECT s_suppkey, 0 AS idx, ax AS px, ay AS py FROM src
 UNION ALL
 SELECT s_suppkey, 1 AS idx, bx AS px, by AS py FROM src
 """
+
+
+def q_xy_range_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D interval relates (RelateXRange dateline-aware / RelateYRange)
+    — the rectangle API's extra predicates (Rectangle.cs:72-78)."""
+    from . import functions as SF
+    r = supplier_rects(spark, sf_dir).selectExpr(
+        "srect_id", "sminx", "smaxx", "sminy", "smaxy",
+        "(CASE WHEN sminx + 15.0 > 180.0 THEN sminx - 345.0 ELSE sminx + 15.0 END) AS eminx",
+        "(CASE WHEN smaxx + 40.0 > 180.0 THEN smaxx - 320.0 ELSE smaxx + 40.0 END) AS emaxx",
+        "greatest(-90.0, sminy - 8.0) AS eminy",
+        "least(90.0, smaxy + 5.0) AS emaxy")
+    return r.select(
+        "srect_id",
+        SF.st_relate_x_range(F.col("sminx"), F.col("smaxx"),
+                             F.col("eminx"), F.col("emaxx")).cast("int").alias("xrel"),
+        SF.st_relate_y_range(F.col("sminy"), F.col("smaxy"),
+                             F.col("eminy"), F.col("emaxy")).cast("int").alias("yrel"))
+
+
+ORACLE_XY_RANGE = f"""
+WITH {_CTE_SRECTS},
+e AS (
+  SELECT srect_id, sminx, smaxx, sminy, smaxy,
+         (CASE WHEN sminx + 15.0 > 180.0 THEN sminx - 345.0 ELSE sminx + 15.0 END) AS eminx,
+         (CASE WHEN smaxx + 40.0 > 180.0 THEN smaxx - 320.0 ELSE smaxx + 40.0 END) AS emaxx,
+         greatest(-90.0, sminy - 8.0) AS eminy,
+         least(90.0, smaxy + 5.0) AS emaxy
+  FROM srects
+)
+SELECT srect_id,
+       CAST({_relate_x_range_sql('sminx', 'smaxx', 'eminx', 'emaxx')} AS INT) AS xrel,
+       CAST({_rr('sminy', 'smaxy', 'eminy', 'emaxy')} AS INT) AS yrel
+FROM e
+"""
+
+
+def q_cartesian_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian world model: Euclidean distance, the squared-distance
+    sort-only variant, planar destination point (CartesianDistCalc)."""
+    from . import functions as SF
+    p = _load(spark, sf_dir, "part").selectExpr(
+        "p_partkey", f"{_GLX} AS x1", f"{_GLY} AS y1",
+        f"({_GLX} + 3.0 + (p_partkey % 11)) AS x2",
+        f"({_GLY} - 2.0 + (p_partkey % 7)) AS y2",
+        "(cast(1.0 as double) + (p_partkey % 50)) AS d",
+        "(cast(0.0 as double) + (p_partkey * 29) % 360) AS brg")
+    dest = SF.st_cartesian_point_on_bearing(F.col("x1"), F.col("y1"),
+                                            F.col("d"), F.col("brg"))
+    return p.select(
+        "p_partkey",
+        SF.st_cartesian_distance(F.col("x1"), F.col("y1"),
+                                 F.col("x2"), F.col("y2")).alias("dist"),
+        SF.st_cartesian_distance_sq(F.col("x1"), F.col("y1"),
+                                    F.col("x2"), F.col("y2")).alias("dist_sq"),
+        F.round(dest["x2"], 6).alias("dest_x"),
+        F.round(dest["y2"], 6).alias("dest_y"))
+
+
+ORACLE_CARTESIAN = f"""
+WITH p AS (
+  SELECT p_partkey, {_GLX} AS x1, {_GLY} AS y1,
+         ({_GLX} + 3.0 + (p_partkey % 11)) AS x2,
+         ({_GLY} - 2.0 + (p_partkey % 7)) AS y2,
+         (cast(1.0 as double) + (p_partkey % 50)) AS d,
+         (cast(0.0 as double) + (p_partkey * 29) % 360) AS brg
+  FROM part
+)
+SELECT p_partkey,
+       sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) AS dist,
+       ((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) AS dist_sq,
+       round(x1 + sin(brg * {_D2R}) * d, 6) AS dest_x,
+       round(y1 + cos(brg * {_D2R}) * d, 6) AS dest_y
+FROM p
+"""
+
+
+def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit conversion surface (Dist2Degrees / Degrees2Dist / ToRadians,
+    DistanceUtils.cs:589-638) with the exact EarthMeanRadius constant."""
+    from . import functions as SF
+    o = _load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "(cast(1.0 as double) + (o_orderkey % 20000) / 2.0) AS d_km")
+    u = SF.st_units(F.col("d_km"))
+    return o.select("o_orderkey",
+                    F.round(u["deg"], 9).alias("deg"),
+                    F.round(u["km_rt"], 9).alias("km_rt"),
+                    F.round(u["rad"], 9).alias("rad"))
+
+
+ORACLE_UNITS = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         (cast(1.0 as double) + (o_orderkey % 20000) / 2.0) AS d_km
+  FROM orders
+)
+SELECT o_orderkey,
+       round((d_km / 6371.0087714) * {_RDEG}, 9) AS deg,
+       round(((d_km / 6371.0087714) * {_RDEG}) * {_D2R} * 6371.0087714, 9) AS km_rt,
+       round(((d_km / 6371.0087714) * {_RDEG}) * {_D2R}, 9) AS rad
+FROM o
+"""
+
+
+# second polyline segment deltas (nonzero, non-vertical)
+_LDX2 = "(cast(4.0 as double) + (n_nationkey * 13) % 18)"
+_LDY2 = "(cast(2.0 as double) + (n_nationkey * 19) % 12)"
+
+
+def q_linestring_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered LINESTRING contains points: WKT BUFFER(LINESTRING(...))
+    parse -> per-segment rotated-rectangle union (BufferedLineString =
+    ShapeCollection of BufferedLine, BufferedLineString.cs:35,81)."""
+    from . import functions as SF
+    lines = _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS line_id",
+        f"{_LAX} AS ax", f"{_LAY} AS ay",
+        f"({_LAX} + {_LDX}) AS bx", f"({_LAY} + {_LDY}) AS by",
+        f"(({_LAX} + {_LDX}) + {_LDX2}) AS cx2",
+        f"(({_LAY} + {_LDY}) - {_LDY2}) AS cy2",
+        f"{_LBUF} AS buf")
+    wkt = F.expr(
+        "concat('BUFFER(LINESTRING(', cast(ax as string), ' ', cast(ay as string), ', ',"
+        " cast(bx as string), ' ', cast(by as string), ', ',"
+        " cast(cx2 as string), ' ', cast(cy2 as string), '), ',"
+        " cast(buf as string), ')')")
+    shapes = lines.withColumn("shape", SF.st_from_wkt(wkt)).select("line_id", "shape")
+    pts = customer_points(spark, sf_dir).where("c_custkey % 2 = 0")
+    j = pts.crossJoin(F.broadcast(shapes))
+    rel = SF.st_relate_shape_point(F.col("shape"), F.col("x"), F.col("y"))
+    return j.where(rel == 2).select("c_custkey", "line_id")
+
+
+def _seg_contains_sql(ax, ay, bx, by) -> str:
+    """One buffered segment contains (x, y) — mirror of
+    BufLineParams + InfBufLine.DistanceUnbuffered (generic slopes)."""
+    dx = f"({bx} - {ax})"
+    dy = f"({by} - {ay})"
+    cx = f"({ax} + {dx} / 2.0)"
+    cy = f"({ay} + {dy} / 2.0)"
+    sp = f"({dy} / {dx})"
+    sq = f"((-{dx}) / {dy})"
+    ip = f"({cy} - {sp} * {cx})"
+    iq = f"({cy} - {sq} * {cx})"
+    dp = f"(1.0 / sqrt({sp} * {sp} + 1.0))"
+    dq = f"(1.0 / sqrt({sq} * {sq} + 1.0))"
+    bufq = f"(sqrt({dx} * {dx} + {dy} * {dy}) / 2.0 + buf)"
+    return (f"(abs(y - {sp} * x - {ip}) * {dp} <= buf"
+            f" AND abs(y - {sq} * x - {iq}) * {dq} <= {bufq})")
+
+
+ORACLE_LINESTRING = f"""
+WITH {_CTE_POINTS},
+lines AS (
+  SELECT n_nationkey AS line_id,
+         {_LAX} AS ax, {_LAY} AS ay,
+         ({_LAX} + {_LDX}) AS bx, ({_LAY} + {_LDY}) AS by,
+         (({_LAX} + {_LDX}) + {_LDX2}) AS cx2,
+         (({_LAY} + {_LDY}) - {_LDY2}) AS cy2,
+         {_LBUF} AS buf
+  FROM nation
+)
+SELECT c_custkey, line_id
+FROM pts CROSS JOIN lines
+WHERE c_custkey % 2 = 0
+  AND ({_seg_contains_sql('ax', 'ay', 'bx', 'by')}
+       OR {_seg_contains_sql('bx', 'by', 'cx2', 'cy2')})
+"""
+
+
+def q_geometrycollection_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRYCOLLECTION grammar + ComputeBoundingBox union
+    (ShapeCollection.cs:67-91; members dateline-free here so the smart
+    longitude union equals plain min/max — SQL-expressible)."""
+    from . import functions as SF
+    src = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", f"{SCX} AS px", f"{SCY} AS py",
+        f"({SCX} + 8.0) AS eminx", f"({SCX} + 20.0) AS emaxx",
+        f"({SCY} - 6.0) AS eminy", f"({SCY} - 1.0) AS emaxy",
+        f"({SCX} - 4.0) AS qx", f"({SCY} + 7.0) AS qy")
+    wkt = F.expr(
+        "concat('GEOMETRYCOLLECTION (POINT (', cast(px as string), ' ', cast(py as string),"
+        " '), ENVELOPE (', cast(eminx as string), ', ', cast(emaxx as string), ', ',"
+        " cast(emaxy as string), ', ', cast(eminy as string),"
+        " '), POINT (', cast(qx as string), ' ', cast(qy as string), '))')")
+    parsed = src.withColumn("shape", SF.st_from_wkt(wkt))
+    s = F.col("shape")
+    return parsed.select("s_suppkey",
+                         s["minx"].alias("minx"), s["maxx"].alias("maxx"),
+                         s["miny"].alias("miny"), s["maxy"].alias("maxy"))
+
+
+ORACLE_GC_BBOX = f"""
+WITH src AS (
+  SELECT s_suppkey, {SCX} AS px, {SCY} AS py,
+         ({SCX} + 8.0) AS eminx, ({SCX} + 20.0) AS emaxx,
+         ({SCY} - 6.0) AS eminy, ({SCY} - 1.0) AS emaxy,
+         ({SCX} - 4.0) AS qx, ({SCY} + 7.0) AS qy
+  FROM supplier
+)
+SELECT s_suppkey,
+       least(px, eminx, qx) AS minx, greatest(px, emaxx, qx) AS maxx,
+       least(py, eminy, qy) AS miny, greatest(py, emaxy, qy) AS maxy
+FROM src
+"""

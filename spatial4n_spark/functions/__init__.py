@@ -507,3 +507,72 @@ def st_to_wkt(shape_col, decimals: int | None = None):
     return make_st_to_wkt(decimals)(
         s["kind"], s["x"], s["y"], s["radius"], s["minx"], s["maxx"],
         s["miny"], s["maxy"], s["xs"], s["ys"], s["ring_offsets"])
+
+
+@pandas_udf(ByteType())
+def st_relate_x_range(minx: pd.Series, maxx: pd.Series,
+                      eminx: pd.Series, emaxx: pd.Series) -> pd.Series:
+    """1-D longitude interval relate, dateline-aware
+    (RectangleImpl.RelateXRange, :259-297)."""
+    from ..kernels.relate_rect import relate_x_range
+    return pd.Series(relate_x_range(minx.to_numpy(), maxx.to_numpy(),
+                                    eminx.to_numpy(), emaxx.to_numpy(),
+                                    geo=True))
+
+
+@pandas_udf(ByteType())
+def st_relate_y_range(miny: pd.Series, maxy: pd.Series,
+                      eminy: pd.Series, emaxy: pd.Series) -> pd.Series:
+    """1-D latitude interval relate (RectangleImpl.RelateYRange :254-257)."""
+    from ..kernels.relate_rect import relate_y_range
+    return pd.Series(relate_y_range(miny.to_numpy(), maxy.to_numpy(),
+                                    eminy.to_numpy(), emaxy.to_numpy()))
+
+
+@pandas_udf(DoubleType())
+def st_cartesian_distance(x1: pd.Series, y1: pd.Series, x2: pd.Series,
+                          y2: pd.Series) -> pd.Series:
+    """Euclidean distance (CartesianDistCalc.cs:51-62)."""
+    from ..kernels.distance import cartesian_distance
+    return pd.Series(cartesian_distance(x1.to_numpy(), y1.to_numpy(),
+                                        x2.to_numpy(), y2.to_numpy()))
+
+
+@pandas_udf(DoubleType())
+def st_cartesian_distance_sq(x1: pd.Series, y1: pd.Series, x2: pd.Series,
+                             y2: pd.Series) -> pd.Series:
+    """Squared distance — the sort-only optimization
+    (CartesianDistCalc.cs:36-49)."""
+    from ..kernels.distance import cartesian_distance
+    return pd.Series(cartesian_distance(x1.to_numpy(), y1.to_numpy(),
+                                        x2.to_numpy(), y2.to_numpy(),
+                                        squared=True))
+
+
+@pandas_udf(_DEST_SCHEMA)
+def st_cartesian_point_on_bearing(x: pd.Series, y: pd.Series,
+                                  dist: pd.Series,
+                                  bearing_deg: pd.Series) -> pd.DataFrame:
+    """Planar destination point (CartesianDistCalc.cs:70-91)."""
+    from ..kernels.bearing import cartesian_point_on_bearing
+    x2, y2 = cartesian_point_on_bearing(x.to_numpy(), y.to_numpy(),
+                                        dist.to_numpy(),
+                                        bearing_deg.to_numpy())
+    return pd.DataFrame({"x2": x2, "y2": y2})
+
+
+_UNITS_SCHEMA = StructType([
+    StructField("deg", DoubleType()), StructField("km_rt", DoubleType()),
+    StructField("rad", DoubleType()),
+])
+
+
+@pandas_udf(_UNITS_SCHEMA)
+def st_units(dist_km: pd.Series) -> pd.DataFrame:
+    """Unit conversions (DistanceUtils.cs:589-638, exact constants):
+    km -> degrees, round-trip back to km, degrees -> radians."""
+    from ..kernels.normalize import (degrees_to_dist, dist_to_degrees,
+                                     to_radians)
+    deg = dist_to_degrees(dist_km.to_numpy())
+    return pd.DataFrame({"deg": deg, "km_rt": degrees_to_dist(deg),
+                         "rad": to_radians(deg)})
