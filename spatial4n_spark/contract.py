@@ -410,7 +410,8 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "circle_id AS query_id", "cx AS qx", "cy AS qy")
     plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None, max_cover_cells=4096)
     out = knn_join(pts, qs, k=5, radius_deg=60.0, plan=plan,
-                   query_id="query_id", tie_break="point_id")
+                   query_id="query_id", tie_break="point_id",
+                   prefilter_radius=8.0)
     return out.select(F.col("query_id").alias("circle_id"),
                       F.col("point_id").alias("c_custkey"),
                       F.col("knn_rank").cast("int").alias("knn_rank"))

@@ -576,3 +576,18 @@ def st_units(dist_km: pd.Series) -> pd.DataFrame:
     deg = dist_to_degrees(dist_km.to_numpy())
     return pd.DataFrame({"deg": deg, "km_rt": degrees_to_dist(deg),
                          "rad": to_radians(deg)})
+
+
+_HAV_VIN_SCHEMA = StructType([
+    StructField("hav", DoubleType()), StructField("vin", DoubleType()),
+])
+
+
+@pandas_udf(_HAV_VIN_SCHEMA)
+def st_hav_vin(x1: pd.Series, y1: pd.Series, x2: pd.Series,
+               y2: pd.Series) -> pd.DataFrame:
+    """Haversine + Vincenty in ONE Arrow pass (the kNN filter and the
+    exact re-rank share the batch transfer)."""
+    a = (x1.to_numpy(), y1.to_numpy(), x2.to_numpy(), y2.to_numpy())
+    return pd.DataFrame({"hav": _geo_dist(*a, "haversine"),
+                         "vin": _geo_dist(*a, "vincentySphere")})

