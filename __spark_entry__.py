@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "embed_knn": c.q_embed_knn,
         "embed_lsh_bucket": c.q_embed_lsh_bucket,
+        "embed_neardup": c.q_embed_neardup,
         # --- raster<->vector ---
         "zonal_stats": c.q_zonal_stats,
         # --- relational coverage ---
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": c.ORACLE_FINGERPRINT,
         "embed_knn": c.ORACLE_EMBED_KNN,
         "embed_lsh_bucket": c.ORACLE_EMBED_LSH,
+        "embed_neardup": c.ORACLE_EMBED_NEARDUP,
         "zonal_stats": c.ORACLE_ZONAL,
         "tpch_pricing_summary": c.ORACLE_TPCH_Q1,
         "events_sessionize": c.ORACLE_EVENTS,

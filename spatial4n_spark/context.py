@@ -1,0 +1,91 @@
+"""Engine context: the SpatialContext / SpatialContextFactory analog.
+
+Mirrors Context/SpatialContext.cs:40-207 (geo flag, calculator, world
+bounds, normalization/validation) and the string-map factory
+Context/SpatialContextFactory.cs:34-293 (keys `geo`, `distCalculator`
+in {haversine, lawOfCosines, vincentySphere, cartesian, cartesian^2},
+`worldBounds` as a readable shape string, `normWrapLongitude`). On a
+cluster the context is a tiny frozen value captured in UDF closures —
+the broadcast-config pattern; kernels stay pure functions of it.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import numpy as np
+
+CALCULATORS = ("haversine", "lawOfCosines", "vincentySphere",
+               "cartesian", "cartesian^2")
+
+
+@dataclass(frozen=True)
+class SpatialEngineContext:
+    geo: bool = True
+    calculator: str = "haversine"
+    # (minx, maxx, miny, maxy); geo default = world (SpatialContext.cs:107-110)
+    world_bounds: tuple = (-180.0, 180.0, -90.0, 90.0)
+    norm_wrap_longitude: bool = False
+
+    # ---- factory (SpatialContextFactory.MakeSpatialContext analog) ----
+    @classmethod
+    def from_args(cls, args: dict) -> "SpatialEngineContext":
+        geo = str(args.get("geo", "true")).lower() != "false"
+        ctx = cls(geo=geo)
+        if not geo:
+            ctx = replace(ctx, calculator="cartesian",
+                          world_bounds=(-180.0, 180.0, -90.0, 90.0))
+        calc = args.get("distCalculator")
+        if calc is not None:
+            match = [c for c in CALCULATORS if c.lower() == str(calc).lower()]
+            if not match:
+                raise ValueError(f"Unknown calculator: {calc}")
+            ctx = replace(ctx, calculator=match[0])
+        wb = args.get("worldBounds")
+        if wb is not None:
+            from .kernels.wkt import parse_shape
+            rec = parse_shape(wb, geo=geo)
+            ctx = replace(ctx, world_bounds=(rec["minx"], rec["maxx"],
+                                             rec["miny"], rec["maxy"]))
+        if str(args.get("normWrapLongitude", "")).lower() == "true":
+            ctx = replace(ctx, norm_wrap_longitude=True)
+        return ctx
+
+    # ---- normalization / validation (SpatialContext.cs:172-207) ----
+    def norm_x(self, x):
+        x = np.asarray(x, dtype=np.float64)
+        if self.geo and self.norm_wrap_longitude:
+            from .kernels.normalize import norm_lon_deg
+            return norm_lon_deg(x)
+        return x
+
+    def verify_x(self, x):
+        lo, hi = self.world_bounds[0], self.world_bounds[1]
+        bad = (np.asarray(x, dtype=np.float64) < lo) | (np.asarray(x) > hi)
+        if bad.any():
+            raise ValueError(f"Bad X value: outside [{lo}, {hi}]")
+
+    def verify_y(self, y):
+        lo, hi = self.world_bounds[2], self.world_bounds[3]
+        bad = (np.asarray(y, dtype=np.float64) < lo) | (np.asarray(y) > hi)
+        if bad.any():
+            raise ValueError(f"Bad Y value: outside [{lo}, {hi}]")
+
+    # ---- calculator dispatch (SpatialContext.DistCalc analog) ----
+    def distance(self, x1, y1, x2, y2):
+        from .kernels.distance import cartesian_distance, geo_distance_deg
+        if self.calculator == "cartesian":
+            return cartesian_distance(x1, y1, x2, y2)
+        if self.calculator == "cartesian^2":
+            return cartesian_distance(x1, y1, x2, y2, squared=True)
+        return geo_distance_deg(x1, y1, x2, y2, self.calculator)
+
+    # ---- shape reading (SpatialContext.ReadShape: legacy then WKT) ----
+    def read_shape(self, text: str) -> dict:
+        from .kernels.wkt import parse_legacy, parse_shape
+        try:
+            return parse_legacy(text, geo=self.geo)
+        except Exception:
+            return parse_shape(text, geo=self.geo)
+
+
+GEO = SpatialEngineContext()

@@ -1733,3 +1733,27 @@ SELECT s_suppkey,
        least(py, eminy, qy) AS miny, greatest(py, emaxy, qy) AS maxy
 FROM src
 """
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket candidates -> exact
+    cosine refine (the dedup-by-embedding scale path)."""
+    from .operators.dedup import embedding_neardup_pairs
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.25)
+
+
+ORACLE_EMBED_NEARDUP = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, ({_ddb_bucket(8)}) AS bkt
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+         list_dot_product(a.e, x.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(x.e, x.e))) AS cosine
+  FROM b a JOIN b x ON a.bkt = x.bkt AND a.vec_id < x.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+FROM pairs WHERE cosine >= 0.25
+"""

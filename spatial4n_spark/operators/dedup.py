@@ -95,3 +95,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
                  .where(F.col("doc_a") < F.col("doc_b"))
                  .select("doc_a", "doc_b").distinct())
     return pairs
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
+                            emb: str = "embedding",
+                            threshold: float = 0.9,
+                            n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket join (candidate
+    generation bounded to same-bucket pairs, never all-pairs) -> exact
+    cosine refine >= threshold. Returns (id_a < id_b, cosine)."""
+    from .similarity import cosine_expr, hyperplane_bucket_expr
+    b = embeddings.withColumn("__bkt", F.expr(hyperplane_bucket_expr(emb, n_planes)))
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col(emb).alias("__ea"), "__bkt")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col(emb).alias("__eb"), "__bkt")
+    pairs = (left.join(right, "__bkt", "inner")
+                 .where(F.col("id_a") < F.col("id_b")))
+    cos = F.expr(cosine_expr("__ea", "__eb"))
+    return (pairs.withColumn("cosine", cos)
+                 .where(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r")))
