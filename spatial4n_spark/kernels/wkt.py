@@ -168,36 +168,60 @@ def _clip_halfplane(pts, keep_fn, cross_x):
     return out
 
 
-def _mk_polygon(rings, geo=True) -> dict:
-    """Polygon with holes; Width180 dateline rule.
+def _cut_pages_at_180(shifted_rings) -> dict:
+    """Cut unwrapped rings (x possibly beyond 180) into +-180 pages and
+    shift the high page back (NtsGeometry cutUnwrappedGeomInto360,
+    :465-527). Returns a multipolygon record with the smart
+    (dateline-crossing) bbox of the unwrapped extent."""
+    pages = []
+    for ring in shifted_rings:
+        low = _clip_halfplane(ring, lambda x: x <= 180.0, 180.0)
+        high = _clip_halfplane(ring, lambda x: x >= 180.0, 180.0)
+        if len(low) >= 3:
+            pages.append([(x, y) for (x, y) in low])
+        if len(high) >= 3:
+            pages.append([(norm_lon_deg(x - 360.0) if x != 180.0 else -180.0, y)
+                          for (x, y) in high])
+    d = _mk_multi_parts(pages, KIND_MULTIPOLYGON)
+    sxs = [p[0] for ring in shifted_rings for p in ring]
+    sys_ = [p[1] for ring in shifted_rings for p in ring]
+    d.update(minx=norm_lon_deg(min(sxs)), maxx=norm_lon_deg(max(sxs)),
+             miny=min(sys_), maxy=max(sys_))
+    return d
 
-    If the shell's raw width > 180 we assume it crosses the dateline
-    (NtsWktShapeParser.DatelineRule.Width180, :304-325): negative xs are
-    shifted +360, then the polygon is cut into pages at x=180 and the
-    high page is shifted back by -360 (NtsGeometry dateline pages,
-    :379-527). Pages become a multipolygon whose bbox is the smart
-    (narrow) dateline-crossing bbox.
+
+def _mk_polygon(rings, geo=True) -> dict:
+    """Polygon with holes; dateline handling in two forms:
+
+    1. Width180 rule (NtsWktShapeParser.DatelineRule.Width180,
+       :304-325): a shell wider than 180 within [-180,180] is assumed
+       to cross the dateline — negative xs shift +360, then page-cut.
+    2. Out-of-range coordinates (explicit x beyond +-180, e.g.
+       "... 190 0 ..."): unambiguous crossing — rings are translated so
+       minx lands in [-180,180) and page-cut (NtsGeometry
+       unwrapDateline/cutUnwrapped, :414-527).
+    Pages become a multipolygon whose bbox is the smart (narrow)
+    dateline-crossing bbox; downstream even-odd PIP unions the pages.
     """
     shell = rings[0]
     xs = [p[0] for p in shell]
     raw_w = max(xs) - min(xs)
-    if geo and raw_w > 180.0:
+    if geo and raw_w > 180.0 and max(xs) <= 180.0 and min(xs) >= -180.0:
         shifted = [[(x + 360.0 if x < 0 else x, y) for (x, y) in ring] for ring in rings]
-        pages = []
-        for ring in shifted:
-            low = _clip_halfplane(ring, lambda x: x <= 180.0, 180.0)
-            high = _clip_halfplane(ring, lambda x: x >= 180.0, 180.0)
-            if len(low) >= 3:
-                pages.append([(x, y) for (x, y) in low])
-            if len(high) >= 3:
-                pages.append([(norm_lon_deg(x - 360.0) if x != 180.0 else -180.0, y)
-                              for (x, y) in high])
-        d = _mk_multi_parts(pages, KIND_MULTIPOLYGON)
-        sxs = [p[0] for ring in shifted for p in ring]
-        sys_ = [p[1] for ring in shifted for p in ring]
-        d.update(minx=norm_lon_deg(min(sxs)), maxx=norm_lon_deg(max(sxs)),
-                 miny=min(sys_), maxy=max(sys_))
-        return d
+        if max(p[0] for r in shifted for p in r) > 180.0:
+            return _cut_pages_at_180(shifted)
+        rings = shifted
+    elif geo and (max(xs) > 180.0 or min(xs) < -180.0):
+        minx0 = min(p[0] for r in rings for p in r)
+        s = 0.0
+        while minx0 + s < -180.0:
+            s += 360.0
+        while minx0 + s >= 180.0:
+            s -= 360.0
+        shifted = [[(x + s, y) for (x, y) in ring] for ring in rings]
+        if max(p[0] for r in shifted for p in r) > 180.0:
+            return _cut_pages_at_180(shifted)
+        rings = shifted
     d = _empty(KIND_POLYGON)
     flat_x, flat_y, offsets = [], [], [0]
     for ring in rings:
@@ -547,8 +571,9 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
             if flat.size < 6 or flat.size % 2:
                 continue
             vx, vy = flat[0::2], flat[1::2]
-            if geo and vx.max() - vx.min() > 180.0:
-                continue  # dateline rule -> tokenizer path
+            if geo and (vx.max() - vx.min() > 180.0
+                        or vx.max() > 180.0 or vx.min() < -180.0):
+                continue  # dateline rule / out-of-range -> tokenizer path
             kind[i] = KIND_POLYGON
             xs[i] = vx.tolist(); ys[i] = vy.tolist()
             ring_offsets[i] = [0, int(vx.size)]

@@ -72,3 +72,29 @@ def plan_point_shape_join(n_points: int, n_shapes: int,
         salt = 16
     return JoinPlan(precision=precision, broadcast_shapes=broadcast,
                     salt=salt, max_cover_cells=4096, shape_kinds=shape_kinds)
+
+
+def estimate_hot_cell_ratio(points, x: str = "x", y: str = "y",
+                            precision: int = 6,
+                            sample_fraction: float = 0.01,
+                            seed: int = 42) -> float:
+    """Sampled share of points landing in the single hottest cell — the
+    skew signal feeding plan_point_shape_join(hot_cell_ratio=...).
+
+    One sampled aggregation job (JVM cell codes, partial aggs); at
+    100 TB a 1e-4 fraction of a 10^12-row table still samples 10^8
+    rows — plenty for a max-share estimate of hot cells.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import functions as SF
+
+    s = points.sample(fraction=sample_fraction, seed=seed)
+    counts = (s.select(SF.st_cell_code_col(F.col(y), F.col(x), precision)
+                       .alias("c"))
+               .groupBy("c").count())
+    row = counts.agg(F.max("count").alias("mx"),
+                     F.sum("count").alias("tot")).collect()[0]
+    if not row.tot:
+        return 0.0
+    return float(row.mx) / float(row.tot)

@@ -83,3 +83,29 @@ def test_salted_join_path_equals_broadcast(spark):
          point_in_shape_join(pts, rects, plan_s)
          .select("c_custkey", "rect_id").collect()}
     assert b == s and len(b) > 0
+
+
+def test_hot_cell_ratio_drives_salting(spark):
+    from spatial4n_spark.plans.strategy import (estimate_hot_cell_ratio,
+                                                plan_point_shape_join)
+    # uniform points: no single hot cell
+    uni = spark.range(20000).selectExpr(
+        "((id * 7919) % 71989) / 200.0 - 179.97 AS x",
+        "((id * 104729) % 35993) / 200.0 - 89.97 AS y")
+    r_uni = estimate_hot_cell_ratio(uni, precision=3, sample_fraction=0.5)
+    assert r_uni < 0.05
+
+    # 60% of points piled on one spot: hot cell dominates
+    skew = spark.range(20000).selectExpr(
+        "CASE WHEN id % 10 < 6 THEN 10.001 ELSE ((id * 7919) % 71989) / 200.0 - 179.97 END AS x",
+        "CASE WHEN id % 10 < 6 THEN 45.001 ELSE ((id * 104729) % 35993) / 200.0 - 89.97 END AS y")
+    r_skew = estimate_hot_cell_ratio(skew, precision=3, sample_fraction=0.5)
+    assert r_skew > 0.5
+
+    # the planner salts only for the skewed, non-broadcast case
+    p = plan_point_shape_join(10**9, 10**6, 1.0, 1.0,
+                              hot_cell_ratio=r_skew)
+    assert not p.broadcast_shapes and p.salt
+    p2 = plan_point_shape_join(10**9, 10**6, 1.0, 1.0,
+                               hot_cell_ratio=r_uni)
+    assert p2.salt is None

@@ -66,3 +66,40 @@ def test_streaming_windowed_rollup(spark, dirs):
                 .select(F.col("w.start").alias("ws"), "cell_id", "n")
                 .collect())}
     assert got == want
+
+
+def test_stateful_streaming_dedup(spark, tmp_path_factory):
+    """applyInPandasWithState first-seen dedup: exactly one emission per
+    distinct content across micro-batches, state survives restart."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.streaming import dedup_stream as dd
+
+    root = tmp_path_factory.mktemp("sdedup")
+    in_dir, out_dir, ckpt = str(root / "in"), str(root / "out"), str(root / "ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def land(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        (spark.createDataFrame(pdf)
+         .select("doc_id", F.array(F.struct(
+             F.lit("text").alias("kind"), F.col("text").alias("text"),
+             F.lit(None).cast("string").alias("media_ref"),
+             F.lit(0).alias("offset"))).alias("spans"))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    land([("d1", "alpha"), ("d2", "alpha"), ("d3", "beta")])
+    stream = dd.dedup_stream(ts.read_docs_stream(spark, in_dir))
+    dd.run_dedup_available_now(stream, out_dir, ckpt)
+    got1 = {(r.text_hash, r.doc_id) for r in spark.read.parquet(out_dir).collect()}
+    assert len(got1) == 2                       # alpha once, beta once
+    assert {d for _, d in got1} == {"d1", "d3"}  # smallest doc_id wins
+
+    # second landing: repeats + one new; restart drains only new state
+    land([("d4", "alpha"), ("d5", "gamma"), ("d6", "beta")])
+    stream = dd.dedup_stream(ts.read_docs_stream(spark, in_dir))
+    dd.run_dedup_available_now(stream, out_dir, ckpt)
+    got2 = {(r.text_hash, r.doc_id) for r in spark.read.parquet(out_dir).collect()}
+    assert len(got2) == 3                       # only gamma added
+    assert {d for _, d in got2} == {"d1", "d3", "d5"}
