@@ -188,16 +188,27 @@ def _circle_relate_rect_sql(cx, cy, r, rminx, rmaxx, rminy, rmaxy):
 _B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
-def _lon_idx_sql(x, bits):
+def _axis_idx_sql(coord, lo: float, span: float, bits: int) -> str:
+    """EXACT bisection-equivalent cell index: closed form + one boundary
+    correction against the exactly-representable grid boundaries
+    b_i = lo + i*step (mirrors functions._axis_idx_col)."""
     n = 1 << bits
-    v = f"(({x} + 180.0) / 360.0 * {float(n)})"
-    return f"least({n - 1}, greatest(0, CAST(ceil({v}) AS BIGINT) - 1))"
+    step = span / n  # exact dyadic
+    i0 = (f"least({n - 1}, greatest(0, "
+          f"CAST(ceil((({coord} + {-lo:.1f}) / {span:.1f} * {float(n)})) AS BIGINT) - 1))")
+    b_lo = f"({lo:.1f} + CAST({i0} AS DOUBLE) * {step!r})"
+    b_hi = f"({lo:.1f} + CAST(({i0} + 1) AS DOUBLE) * {step!r})"
+    corr = (f"(CASE WHEN {coord} > {b_hi} THEN 1 "
+            f"WHEN {coord} <= {b_lo} THEN -1 ELSE 0 END)")
+    return f"least({n - 1}, greatest(0, {i0} + {corr}))"
+
+
+def _lon_idx_sql(x, bits):
+    return _axis_idx_sql(x, -180.0, 360.0, bits)
 
 
 def _lat_idx_sql(y, bits):
-    n = 1 << bits
-    v = f"(({y} + 90.0) / 180.0 * {float(n)})"
-    return f"least({n - 1}, greatest(0, CAST(ceil({v}) AS BIGINT) - 1))"
+    return _axis_idx_sql(y, -90.0, 180.0, bits)
 
 
 def _interleave_sql(lon_idx, lat_idx, precision):
@@ -551,11 +562,15 @@ def q_polygon_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import functions as SF
     from .operators.joins import point_in_shape_join
     from .plans.strategy import JoinPlan
+    # vertex offsets carry sub-grid decimals: customer points and
+    # supplier centers share the 0.005-degree lattice, and aligned
+    # slope-2 edges put points EXACTLY on the boundary (sign flips on
+    # 1-ulp arithmetic-order differences vs the oracle)
     tri = _load(spark, sf_dir, "supplier").selectExpr(
         "s_suppkey AS poly_id",
-        f"{SCX} AS x1t", f"({SCY} - 10.0) AS y1t",
-        f"({SCX} + 24.0) AS x2t", f"({SCY} - 10.0) AS y2t",
-        f"({SCX} + 12.0) AS x3t", f"({SCY} + 14.0) AS y3t")
+        f"{SCX} AS x1t", f"({SCY} - 10.000357) AS y1t",
+        f"({SCX} + 24.000713) AS x2t", f"({SCY} - 10.000357) AS y2t",
+        f"({SCX} + 12.000251) AS x3t", f"({SCY} + 14.000509) AS y3t")
     wkt = F.expr("concat('POLYGON((', cast(x1t as string), ' ', cast(y1t as string), ', ',"
                  " cast(x2t as string), ' ', cast(y2t as string), ', ',"
                  " cast(x3t as string), ' ', cast(y3t as string), ', ',"
@@ -926,9 +941,9 @@ ORACLE_POLYGON_PIP = f"""
 WITH {_CTE_POINTS},
 tri AS (
   SELECT s_suppkey AS poly_id,
-         {SCX} AS x1t, ({SCY} - 10.0) AS y1t,
-         ({SCX} + 24.0) AS x2t, ({SCY} - 10.0) AS y2t,
-         ({SCX} + 12.0) AS x3t, ({SCY} + 14.0) AS y3t
+         {SCX} AS x1t, ({SCY} - 10.000357) AS y1t,
+         ({SCX} + 24.000713) AS x2t, ({SCY} - 10.000357) AS y2t,
+         ({SCX} + 12.000251) AS x3t, ({SCY} + 14.000509) AS y3t
   FROM supplier
 )
 SELECT c_custkey, poly_id
@@ -1319,7 +1334,9 @@ TCX = "(((s_suppkey * 7907) % 40000) / cast(200.0 as double) - 100.0)"
 TCY = "(((s_suppkey * 7919) % 20000) / cast(200.0 as double) - 50.0)"
 PCCX = f"({TCX} + (s_suppkey % 29))"
 PCCY = f"({TCY} - 10.0 + (s_suppkey % 23))"
-PCCR = "(cast(2.0 as double) + (s_suppkey * 31) % 14)"
+# fractional radius, never equal to the integer-grid vertex
+# distances (same-meridian ties like dist==r==7.0 flip on libm ulp)
+PCCR = "(cast(2.37 as double) + ((s_suppkey * 31) % 140) / cast(10.0 as double))"
 
 
 def q_polygon_circle_relate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -385,14 +385,27 @@ def _spread_bits32(v):
 
 
 def _axis_idx_col(coord, lo: float, span: float, bits: int):
-    """Closed-form cell index along one axis: ceil(t*2^bits)-1 clamped.
+    """EXACT cell index along one axis: closed form + one boundary
+    correction step.
 
-    Same closed form as the DuckDB oracle (contract._lon_idx_sql);
-    equivalent to the kernel's exact interval bisection (strictly-
-    greater goes high) for all non-pathological doubles."""
+    The kernel bisects with exact dyadic midpoints ("strictly greater
+    goes high"), so cell i covers (b_i, b_{i+1}]. The raw closed form
+    ceil(t*2^bits)-1 can be off by one when (coord - lo) rounds away a
+    sub-ulp excess at a boundary (seen on real data: x =
+    112.50000000000003 at the 112.5 boundary). Both grid step and
+    boundaries b_i = lo + i*step are exactly representable (dyadic step,
+    <=36-bit products), so comparing coord against b_{i0} / b_{i0+1}
+    restores the exact bisection index. Mirrored by the DuckDB oracle
+    (contract._lon_idx_sql)."""
     n = 1 << bits
-    v = F.ceil((coord + F.lit(-lo)) / F.lit(span) * F.lit(float(n))).cast("long") - 1
-    return F.least(F.lit(n - 1), F.greatest(F.lit(0), v))
+    step = span / n  # exact dyadic for the +-180 / +-90 world
+    i0 = F.ceil((coord + F.lit(-lo)) / F.lit(span) * F.lit(float(n))).cast("long") - 1
+    i0 = F.least(F.lit(n - 1), F.greatest(F.lit(0), i0))
+    b_lo = F.lit(lo) + i0.cast("double") * F.lit(step)
+    b_hi = F.lit(lo) + (i0 + 1).cast("double") * F.lit(step)
+    corr = (F.when(coord > b_hi, 1)
+             .when(coord <= b_lo, -1).otherwise(0))
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), i0 + corr))
 
 
 def st_cell_code_col(lat, lon, precision: int):

@@ -58,3 +58,27 @@ def test_rect_fast_path_equals_kernel_refine(spark):
             .select("c_custkey", "rect_id").collect()}
     assert fast == kern
     assert len(fast) > 0
+
+
+@pytest.mark.parametrize("precision", [2, 5, 6, 12])
+def test_cell_code_exact_at_boundaries(spark, precision):
+    """Adversarial boundary battery: exact grid boundaries and +-3e-14 /
+    +-1ulp neighbors must match the kernel bisection exactly (the
+    closed form alone loses sub-ulp excesses — real data hit this at
+    x=112.50000000000003)."""
+    bounds = []
+    for bits, lo, span in ((13, -180.0, 360.0), (12, -90.0, 180.0)):
+        step = span / (1 << bits)
+        for i in (1, 7, 100, 2048, (1 << bits) - 1):
+            b = lo + i * step
+            bounds += [b, b + 3e-14, b - 3e-14,
+                       float(np.nextafter(b, 1e9)), float(np.nextafter(b, -1e9))]
+    lon = np.array([v for v in bounds if -180 <= v <= 180]
+                   + [1e-300, -1e-300, 112.50000000000003])
+    lat = np.clip(lon / 2.0, -90, 90)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got = np.array(
+        df.select(SF.st_cell_code_col(F.col("lat"), F.col("lon"),
+                                      precision).alias("c"))
+          .toPandas()["c"], dtype=np.int64)
+    assert np.array_equal(got, cell_code(lat, lon, precision))
