@@ -56,6 +56,33 @@ _POLYGON_FAST = re.compile(
     r"^\s*POLYGON\s*\(\s*\(\s*([0-9eE+.,\s-]+?)\s*\)\s*\)\s*$",
     re.IGNORECASE)
 
+# RE2 named-group variants for the pyarrow fast path ((?i) prefix =
+# RE2 case-insensitive; same grammar as the compiled patterns above)
+_POINT_FAST_PA = (rf"(?i)^\s*POINT\s*\(\s*(?P<a>{_NUM_RE})\s+(?P<b>{_NUM_RE})"
+                  rf"(?:\s+{_NUM_RE})*\s*\)\s*$")
+_ENVELOPE_FAST_PA = (rf"(?i)^\s*ENVELOPE\s*\(\s*(?P<a>{_NUM_RE})\s*,\s*(?P<b>{_NUM_RE})"
+                     rf"\s*,\s*(?P<c>{_NUM_RE})\s*,\s*(?P<d>{_NUM_RE})\s*\)\s*$")
+_BUFFER_POINT_FAST_PA = (rf"(?i)^\s*BUFFER\s*\(\s*POINT\s*\(\s*(?P<a>{_NUM_RE})"
+                         rf"\s+(?P<b>{_NUM_RE})\s*\)\s*,\s*(?P<c>{_NUM_RE})\s*\)\s*$")
+
+
+def _pa_extract_f64(strs, pattern: str, groups: tuple):
+    """Arrow-native regex extract + float64 cast (RE2 + fast_float —
+    both correctly rounded, ~5x faster than the pandas path). Returns
+    None to signal fallback (pyarrow missing / cast overflow)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        arr = pa.Array.from_pandas(strs)
+        if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+            return None
+        ext = pc.extract_regex(arr, pattern)
+        return [pc.cast(pc.struct_field(ext, g), pa.float64())
+                .to_numpy(zero_copy_only=False) for g in groups]
+    except Exception:  # noqa: BLE001 - fall back to the pandas path
+        return None
+
+
 _TOKEN = re.compile(rf"\s*({_NUM_RE}(?![A-Za-z0-9_.])|[A-Za-z][A-Za-z0-9_]*|[(),])")
 
 
@@ -468,11 +495,15 @@ def parse_wkt_batch(texts, geo: bool = True):
     errors: list = [None] * n
 
     null_mask = s.isna()
-    ext = s.where(~null_mask, "").astype(str).str.extract(_POINT_FAST, expand=True)
-    # numpy's str->float64 is correctly rounded; pandas' to_numeric fast
-    # path (xstrtod) is NOT and loses ulps on long decimal strings
-    pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
-    pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
+    pa_res = _pa_extract_f64(s, _POINT_FAST_PA, ("a", "b"))
+    if pa_res is not None:
+        pxv, pyv = pa_res
+    else:
+        ext = s.where(~null_mask, "").astype(str).str.extract(_POINT_FAST, expand=True)
+        # numpy's str->float64 is correctly rounded; pandas' to_numeric
+        # fast path (xstrtod) is NOT and loses ulps on long decimals
+        pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
+        pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
     fast = ~np.isnan(pxv) & ~np.isnan(pyv) & ~null_mask.to_numpy()
     for i in np.nonzero(fast)[0]:
         records[i] = _mk_point(float(pxv[i]), float(pyv[i]))
@@ -498,9 +529,13 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
     s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts), dtype=object)
     n = len(s)
     null_mask = s.isna().to_numpy()
-    ext = s.where(~s.isna(), "").astype(str).str.extract(_POINT_FAST, expand=True)
-    pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
-    pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
+    pa_res = _pa_extract_f64(s, _POINT_FAST_PA, ("a", "b"))
+    if pa_res is not None:
+        pxv, pyv = pa_res
+    else:
+        ext = s.where(~s.isna(), "").astype(str).str.extract(_POINT_FAST, expand=True)
+        pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
+        pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
     fast = ~np.isnan(pxv) & ~np.isnan(pyv) & ~null_mask
 
     kind = np.where(fast, np.int8(KIND_POINT), np.int8(KIND_EMPTY))
@@ -521,11 +556,15 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
     # --- vectorized ENVELOPE fast path (arg order x1, x2, maxY, minY) ---
     if todo.any():
         strs = s.where(~s.isna(), "").astype(str)
-        env = strs.str.extract(_ENVELOPE_FAST, expand=True)
-        e1 = np.asarray(env[0].fillna("nan"), dtype=np.float64)
-        e2 = np.asarray(env[1].fillna("nan"), dtype=np.float64)
-        e3 = np.asarray(env[2].fillna("nan"), dtype=np.float64)
-        e4 = np.asarray(env[3].fillna("nan"), dtype=np.float64)
+        pa_env = _pa_extract_f64(s, _ENVELOPE_FAST_PA, ("a", "b", "c", "d"))
+        if pa_env is not None:
+            e1, e2, e3, e4 = pa_env
+        else:
+            env = strs.str.extract(_ENVELOPE_FAST, expand=True)
+            e1 = np.asarray(env[0].fillna("nan"), dtype=np.float64)
+            e2 = np.asarray(env[1].fillna("nan"), dtype=np.float64)
+            e3 = np.asarray(env[2].fillna("nan"), dtype=np.float64)
+            e4 = np.asarray(env[3].fillna("nan"), dtype=np.float64)
         em = todo & ~np.isnan(e1) & ~np.isnan(e2) & ~np.isnan(e3) & ~np.isnan(e4) \
             & (e4 <= e3)
         if em.any():
@@ -541,10 +580,14 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
             todo = todo & ~em
 
         # --- vectorized BUFFER(POINT(x y), r) fast path -> circle ---
-        bp = strs.str.extract(_BUFFER_POINT_FAST, expand=True)
-        bx = np.asarray(bp[0].fillna("nan"), dtype=np.float64)
-        by = np.asarray(bp[1].fillna("nan"), dtype=np.float64)
-        br = np.asarray(bp[2].fillna("nan"), dtype=np.float64)
+        pa_buf = _pa_extract_f64(s, _BUFFER_POINT_FAST_PA, ("a", "b", "c"))
+        if pa_buf is not None:
+            bx, by, br = pa_buf
+        else:
+            bp = strs.str.extract(_BUFFER_POINT_FAST, expand=True)
+            bx = np.asarray(bp[0].fillna("nan"), dtype=np.float64)
+            by = np.asarray(bp[1].fillna("nan"), dtype=np.float64)
+            br = np.asarray(bp[2].fillna("nan"), dtype=np.float64)
         bm = todo & ~np.isnan(bx) & ~np.isnan(by) & ~np.isnan(br) & (br >= 0)
         if bm.any():
             r_c = np.minimum(br[bm], 180.0) if geo else br[bm]
