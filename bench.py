@@ -76,9 +76,12 @@ def main() -> None:
 
     # --- headline contract queries at sf_dir ---
     headline = [
-        "pip_rect_join", "dwithin_join", "knn", "tile_assign", "cell_rollup",
-        "cover_cells", "circle_rect_relate", "dedup_exact", "minhash_lsh_pairs",
-        "embed_knn", "zonal_stats", "span_integrity",
+        "pip_rect_join", "polygon_pip_join", "dwithin_join", "knn",
+        "knn_rings", "tile_assign", "cell_rollup", "cover_cells",
+        "circle_rect_relate", "polygon_rect_relate", "collection_relate",
+        "extent_agg", "st_area", "line_contains_join",
+        "dedup_exact", "minhash_lsh_pairs", "embed_knn", "embed_neardup",
+        "zonal_stats", "span_integrity", "legacy_roundtrip", "normalize",
     ]
     import __spark_entry__ as entry
     qs = entry.queries()
