@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circle_circle_relate": c.q_circle_circle_relate,
         # --- codecs / normalization ---
         "legacy_roundtrip": c.q_legacy_roundtrip,
+        "binary_roundtrip": c.q_binary_roundtrip,
         "normalize": c.q_normalize,
         "xy_range_relate": c.q_xy_range_relate,
         "cartesian_ops": c.q_cartesian_ops,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_relate": c.ORACLE_COLLECTION,
         "circle_circle_relate": c.ORACLE_CIRCLE_CIRCLE,
         "legacy_roundtrip": c.ORACLE_LEGACY,
+        "binary_roundtrip": c.ORACLE_BINARY,
         "normalize": c.ORACLE_NORM,
         "xy_range_relate": c.ORACLE_XY_RANGE,
         "cartesian_ops": c.ORACLE_CARTESIAN,

@@ -1774,3 +1774,54 @@ pairs AS (
 SELECT id_a, id_b, round(cosine, 6) AS cosine_r
 FROM pairs WHERE cosine >= 0.25
 """
+
+
+def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec round-trip (BinaryCodec layout: type byte +
+    little-endian doubles): WKT parse -> encode -> decode -> values,
+    plus the encoded byte length pinning the layout."""
+    from . import functions as SF
+    src = _load(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        f"""CASE p_partkey % 3
+            WHEN 0 THEN concat('POINT (', cast({_GLX} as string), ' ', cast({_GLY} as string), ')')
+            WHEN 1 THEN concat('ENVELOPE (', cast({_GLX} as string), ', ', cast({_GMAXX} as string),
+                               ', ', cast({_GMAXY} as string), ', ', cast({_GLY} as string), ')')
+            ELSE concat('BUFFER(POINT(', cast({_GLX} as string), ' ',
+                        cast(({_GLY} / 2.0) as string), '), ', cast({_GLR} as string), ')')
+            END AS wkt""")
+    parsed = src.withColumn("s1", SF.st_from_wkt(F.col("wkt")))
+    s1 = F.col("s1")
+    enc = SF.st_to_binary(s1["kind"], s1["x"], s1["y"], s1["radius"],
+                          s1["minx"], s1["maxx"], s1["miny"], s1["maxy"])
+    dec = parsed.withColumn("blob", enc).withColumn("s2", SF.st_from_binary(F.col("blob")))
+    s2 = F.col("s2")
+    return dec.select(
+        "p_partkey", s2["kind"].cast("int").alias("kind"),
+        F.length("blob").cast("int").alias("nbytes"),
+        s2["x"].alias("x"), s2["y"].alias("y"), s2["radius"].alias("radius"),
+        F.round(s2["minx"], 6).alias("minx"), F.round(s2["maxx"], 6).alias("maxx"),
+        F.round(s2["miny"], 6).alias("miny"), F.round(s2["maxy"], 6).alias("maxy"))
+
+
+ORACLE_BINARY = f"""
+WITH base AS (
+  SELECT p_partkey, p_partkey % 3 AS fmt, {_GLX} AS gx, {_GLY} AS gy,
+         ({_GLY} / 2.0) AS cy, {_GLR} AS gr, {_GMAXX} AS gmaxx, {_GMAXY} AS gmaxy
+  FROM part
+),
+dl AS (
+  SELECT *, asin(sin(gr * {_D2R}) / cos(cy * {_D2R})) * {_RDEG} AS dlon FROM base
+)
+SELECT p_partkey,
+       CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS kind,
+       CASE fmt WHEN 0 THEN 17 WHEN 1 THEN 33 ELSE 25 END AS nbytes,
+       CASE fmt WHEN 0 THEN gx WHEN 1 THEN NULL ELSE gx END AS x,
+       CASE fmt WHEN 0 THEN gy WHEN 1 THEN NULL ELSE cy END AS y,
+       CASE fmt WHEN 2 THEN gr ELSE NULL END AS radius,
+       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gx ELSE gx - dlon END, 6) AS minx,
+       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gmaxx ELSE gx + dlon END, 6) AS maxx,
+       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gy ELSE cy - gr END, 6) AS miny,
+       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gmaxy ELSE cy + gr END, 6) AS maxy
+FROM dl
+"""

@@ -604,3 +604,41 @@ def st_hav_vin(x1: pd.Series, y1: pd.Series, x2: pd.Series,
     a = (x1.to_numpy(), y1.to_numpy(), x2.to_numpy(), y2.to_numpy())
     return pd.DataFrame({"hav": _geo_dist(*a, "haversine"),
                          "vin": _geo_dist(*a, "vincentySphere")})
+
+
+from pyspark.sql.types import BinaryType  # noqa: E402
+
+
+@pandas_udf(BinaryType())
+def st_to_binary(kind: pd.Series, x: pd.Series, y: pd.Series,
+                 radius: pd.Series, minx: pd.Series, maxx: pd.Series,
+                 miny: pd.Series, maxy: pd.Series) -> pd.Series:
+    """Shape -> reference-layout bytes (Io/BinaryCodec.cs:158-234)."""
+    from ..kernels import binary as _bin
+    out = []
+    for i in range(len(kind)):
+        out.append(_bin.write_shape(dict(
+            kind=int(kind.iloc[i]), x=x.iloc[i], y=y.iloc[i],
+            radius=radius.iloc[i], minx=minx.iloc[i], maxx=maxx.iloc[i],
+            miny=miny.iloc[i], maxy=maxy.iloc[i])))
+    return pd.Series(out)
+
+
+@pandas_udf(SHAPE_SCHEMA)
+def st_from_binary(blobs: pd.Series) -> pd.DataFrame:
+    """Reference-layout bytes -> shape struct."""
+    from ..kernels import binary as _bin
+    rows = []
+    for b in blobs:
+        try:
+            rec = _bin.read_shape(bytes(b))
+            rows.append({k: rec.get(k) for k in
+                         ("kind", "x", "y", "radius", "minx", "maxx",
+                          "miny", "maxy")}
+                        | {"xs": rec.get("xs") or None,
+                           "ys": rec.get("ys") or None,
+                           "ring_offsets": rec.get("ring_offsets") or None,
+                           "error": None})
+        except Exception as e:  # noqa: BLE001
+            rows.append(dict(_EMPTY_ROW, error=str(e)[:200]))
+    return pd.DataFrame(rows)
