@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": c.q_tile_assign,
         "cell_rollup": c.q_cell_rollup,
         "cover_cells": c.q_cover_cells,
+        "cell_decode": c.q_cell_decode,
+        "sub_cells": c.q_sub_cells,
         # --- WKT codec ---
         "wkt_point_roundtrip": c.q_wkt_point_roundtrip,
         "wkt_envelope_parse": c.q_wkt_envelope_parse,
@@ -110,6 +112,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": c.ORACLE_TILE,
         "cell_rollup": c.ORACLE_ROLLUP,
         "cover_cells": c.ORACLE_COVER,
+        "cell_decode": c.ORACLE_CELL_DECODE,
+        "sub_cells": c.ORACLE_SUB_CELLS,
         "wkt_point_roundtrip": c.ORACLE_WKT_POINT,
         "wkt_envelope_parse": c.ORACLE_WKT_ENVELOPE,
         "wkt_writer_roundtrip": c.ORACLE_WKT_WRITER,

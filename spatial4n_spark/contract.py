@@ -1825,3 +1825,59 @@ SELECT p_partkey,
        round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gmaxy ELSE cy + gr END, 6) AS maxy
 FROM dl
 """
+
+
+def q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash decode round-trip: encode point -> cell -> decode bbox
+    (GeohashUtils.DecodeBoundary :163-204). Bisection bounds are exact
+    dyadic values, so the oracle reproduces them bit-for-bit from the
+    cell indices."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir)
+    cells = pts.withColumn("cell", SF.st_cell(F.col("y"), F.col("x"), 4))
+    box = SF.st_cell_to_box(F.col("cell"))
+    return cells.select("c_custkey", "cell",
+                        box["minx"].alias("minx"), box["maxx"].alias("maxx"),
+                        box["miny"].alias("miny"), box["maxy"].alias("maxy"))
+
+
+ORACLE_CELL_DECODE = f"""
+WITH {_CTE_POINTS},
+idx AS (
+  SELECT c_custkey,
+         {_lon_idx_sql('x', 10)} AS li,
+         {_lat_idx_sql('y', 10)} AS ti
+  FROM pts
+)
+SELECT c_custkey,
+       {_interleave_sql('li', 'ti', 4)} AS cell,
+       (-180.0 + CAST(li AS DOUBLE) * {360.0 / (1 << 10)!r}) AS minx,
+       (-180.0 + CAST(li + 1 AS DOUBLE) * {360.0 / (1 << 10)!r}) AS maxx,
+       (-90.0 + CAST(ti AS DOUBLE) * {180.0 / (1 << 10)!r}) AS miny,
+       (-90.0 + CAST(ti + 1 AS DOUBLE) * {180.0 / (1 << 10)!r}) AS maxy
+FROM idx
+"""
+
+
+def q_sub_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child-cell expansion (GetSubGeohashes, GeohashUtils.cs:207-216):
+    the 32 children of each distinct precision-1 cell of the points."""
+    from . import functions as SF
+    pts = customer_points(spark, sf_dir)
+    base = (pts.withColumn("cell1", SF.st_cell(F.col("y"), F.col("x"), 1))
+               .select("cell1").distinct())
+    from .kernels.geohash import BASE32
+    children = F.explode(F.array(*[F.lit(c) for c in BASE32])).alias("suffix")
+    return (base.select("cell1", children)
+                .select("cell1", F.concat(F.col("cell1"), F.col("suffix")).alias("child")))
+
+
+ORACLE_SUB_CELLS = f"""
+WITH {_CTE_POINTS},
+idx AS (
+  SELECT DISTINCT {_interleave_sql(_lon_idx_sql('x', 3), _lat_idx_sql('y', 2), 1)} AS cell1
+  FROM pts
+)
+SELECT cell1, cell1 || c AS child
+FROM idx CROSS JOIN (SELECT unnest(string_split('{'|'.join("0123456789bcdefghjkmnpqrstuvwxyz")}', '|')) AS c) s
+"""
