@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_writer_roundtrip": c.q_wkt_writer_roundtrip,
         "wkt_multipoint": c.q_wkt_multipoint,
         "geometrycollection_bbox": c.q_geometrycollection_bbox,
+        "wkt_multilinestring": c.q_wkt_multilinestring,
         # --- interleaved-span invariant ---
         "span_integrity": c.q_span_integrity,
         # --- training-data ops: dedup ---
@@ -73,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": c.q_embed_knn,
         "embed_lsh_bucket": c.q_embed_lsh_bucket,
         "embed_neardup": c.q_embed_neardup,
+        "ivf_assign": c.q_ivf_assign,
+        "ivf_topk": c.q_ivf_topk,
         # --- raster<->vector ---
         "zonal_stats": c.q_zonal_stats,
         # --- relational coverage ---
@@ -119,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "wkt_writer_roundtrip": c.ORACLE_WKT_WRITER,
         "wkt_multipoint": c.ORACLE_WKT_MULTIPOINT,
         "geometrycollection_bbox": c.ORACLE_GC_BBOX,
+        "wkt_multilinestring": c.ORACLE_WKT_MLS,
         "span_integrity": c.ORACLE_SPAN,
         "dedup_exact": c.ORACLE_DEDUP_EXACT,
         "ngram_jaccard": c.ORACLE_NGRAM_JACCARD,
@@ -131,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": c.ORACLE_EMBED_KNN,
         "embed_lsh_bucket": c.ORACLE_EMBED_LSH,
         "embed_neardup": c.ORACLE_EMBED_NEARDUP,
+        "ivf_assign": c.ORACLE_IVF_ASSIGN,
+        "ivf_topk": c.ORACLE_IVF_TOPK,
         "zonal_stats": c.ORACLE_ZONAL,
         "tpch_pricing_summary": c.ORACLE_TPCH_Q1,
         "events_sessionize": c.ORACLE_EVENTS,

@@ -1881,3 +1881,116 @@ idx AS (
 SELECT cell1, cell1 || c AS child
 FROM idx CROSS JOIN (SELECT unnest(string_split('{'|'.join("0123456789bcdefghjkmnpqrstuvwxyz")}', '|')) AS c) s
 """
+
+
+def q_wkt_multilinestring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINESTRING grammar: build -> parse -> part/vertex structure
+    + bbox (WktShapeParser.cs:357-372)."""
+    from . import functions as SF
+    src = _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", f"{_LAX} AS ax", f"{_LAY} AS ay",
+        f"({_LAX} + {_LDX}) AS bx", f"({_LAY} + {_LDY}) AS by",
+        f"({_LAX} - 3.0) AS cx", f"({_LAY} + 6.0) AS cy2",
+        f"({_LAX} + 2.0) AS dx", f"({_LAY} + 9.0) AS dy")
+    wkt = F.expr(
+        "concat('MULTILINESTRING ((', cast(ax as string), ' ', cast(ay as string), ', ',"
+        " cast(bx as string), ' ', cast(by as string), '), (',"
+        " cast(cx as string), ' ', cast(cy2 as string), ', ',"
+        " cast(dx as string), ' ', cast(dy as string), '))')")
+    parsed = src.withColumn("shape", SF.st_from_wkt(wkt))
+    s = F.col("shape")
+    return parsed.select(
+        "n_nationkey",
+        s["kind"].cast("int").alias("kind"),
+        (F.size(s["ring_offsets"]) - 1).cast("int").alias("n_parts"),
+        F.size(s["xs"]).cast("int").alias("n_vertices"),
+        s["minx"].alias("minx"), s["maxx"].alias("maxx"),
+        s["miny"].alias("miny"), s["maxy"].alias("maxy"))
+
+
+ORACLE_WKT_MLS = f"""
+WITH src AS (
+  SELECT n_nationkey, {_LAX} AS ax, {_LAY} AS ay,
+         ({_LAX} + {_LDX}) AS bx, ({_LAY} + {_LDY}) AS by,
+         ({_LAX} - 3.0) AS cx, ({_LAY} + 6.0) AS cy2,
+         ({_LAX} + 2.0) AS dx, ({_LAY} + 9.0) AS dy
+  FROM nation
+)
+SELECT n_nationkey, 6 AS kind, 2 AS n_parts, 4 AS n_vertices,
+       least(ax, bx, cx, dx) AS minx, greatest(ax, bx, cx, dx) AS maxx,
+       least(ay, by, cy2, dy) AS miny, greatest(ay, by, cy2, dy) AS maxy
+FROM src
+"""
+
+
+_IVF_SIMS = """
+seeds AS (
+  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS se
+  FROM embeddings WHERE vec_id < 16
+),
+sims AS (
+  SELECT e.vec_id, s.sid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), s.se)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(s.se, s.se))) AS cos
+  FROM embeddings e CROSS JOIN seeds s
+)"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partition assignment: nearest of 16 deterministic coarse
+    centroids by cosine (one GEMM per Arrow batch — the billion-row
+    partitioner for ANN)."""
+    from .operators.similarity import ivf_assign, ivf_seeds
+    emb = _load(spark, sf_dir, "embeddings")
+    seeds = ivf_seeds(emb, k=16)
+    return ivf_assign(emb, seeds).select("vec_id", "centroid_id")
+
+
+ORACLE_IVF_ASSIGN = f"""
+WITH {_IVF_SIMS}
+SELECT vec_id, sid AS centroid_id
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) = 1
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: probe the 4 nearest centroid partitions per
+    query, exact cosine top-5 within the probed candidates."""
+    from .operators.similarity import ivf_seeds, ivf_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    seeds = ivf_seeds(emb, k=16)
+    qs = emb.where("vec_id < 10").selectExpr("vec_id AS q_id",
+                                             "embedding AS q_embedding")
+    return ivf_topk(emb, qs, k=5, seeds=seeds, nprobe=4)
+
+
+ORACLE_IVF_TOPK = f"""
+WITH {_IVF_SIMS},
+assigned AS (
+  SELECT vec_id, sid AS centroid_id FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, sid AS centroid_id FROM sims WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) <= 4
+),
+cand AS (
+  SELECT q.q_id, a.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))))
+           AS cosine
+  FROM assigned a
+  JOIN qprobe q ON a.centroid_id = q.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings qe ON qe.vec_id = q.q_id
+  WHERE a.vec_id <> q.q_id
+)
+SELECT q_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS sim_rank,
+       round(cosine, 6) AS cosine_r
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 5
+"""

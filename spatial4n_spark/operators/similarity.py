@@ -9,6 +9,8 @@ per-bucket refinement, not the global join.
 """
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,3 +79,82 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int,
              .where(F.col("sim_rank") <= k)
              .select(q_id, id_col, "sim_rank", F.round("cosine", 6).alias("cosine_r"),
                      "bucket"))
+
+
+def ivf_seeds(embeddings: DataFrame, k: int = 16,
+              id_col: str = "vec_id", emb: str = "embedding"):
+    """Deterministic coarse centroids: the first k vectors by id.
+
+    (A production pipeline would k-means these; seeds-by-id keeps the
+    structure deterministic and oracle-reproducible while exercising
+    the identical partition/probe machinery.) Returns a list of
+    (id, vector) collected to the driver — the broadcast side."""
+    rows = (embeddings.where(F.col(id_col) < k)
+            .orderBy(id_col).select(id_col, emb).collect())
+    return [(r[0], list(r[1])) for r in rows]
+
+
+def ivf_assign(embeddings: DataFrame, seeds,
+               id_col: str = "vec_id", emb: str = "embedding") -> DataFrame:
+    """IVF partition assignment: nearest centroid by cosine, computed
+    as ONE NumPy matmul per Arrow batch (the billion-row scale path:
+    centroid matrix broadcast in the UDF closure, GEMM per batch)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    S = np.asarray([v for _, v in seeds], dtype=np.float64)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    seed_ids = np.asarray([i for i, _ in seeds], dtype=np.int64)
+
+    @pandas_udf(LongType())
+    def _assign(col: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Sn.T
+        return pd.Series(seed_ids[np.argmax(sims, axis=1)])
+
+    return embeddings.withColumn("centroid_id", _assign(F.col(emb)))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+             seeds, nprobe: int = 4,
+             id_col: str = "vec_id", q_id: str = "q_id",
+             emb: str = "embedding", q_emb: str = "q_embedding") -> DataFrame:
+    """IVF ANN: probe the nprobe nearest centroid partitions per query,
+    exact cosine re-rank within the probed candidates. Recall < 1 by
+    construction (same trade as any IVF); candidates bounded to
+    nprobe/k_centroids of the table instead of all rows."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(embeddings, seeds, id_col, emb)
+    probes = ivf_assign(
+        queries.select(F.col(q_id).alias(id_col), F.col(q_emb).alias(emb)),
+        seeds, id_col, emb)
+    # nprobe nearest centroids per query: rank centroids by cosine
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    S = np.asarray([v for _, v in seeds], dtype=np.float64)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    seed_ids = np.asarray([i for i, _ in seeds], dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _probe(col: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Sn.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([seed_ids[row].tolist() for row in order])
+
+    qp = (queries.withColumn("__probes", _probe(F.col(q_emb)))
+                 .withColumn("centroid_id", F.explode("__probes"))
+                 .drop("__probes"))
+    cand = assigned.join(F.broadcast(qp), "centroid_id", "inner") \
+                   .where(F.col(id_col) != F.col(q_id))
+    cos = F.expr(cosine_expr(emb, q_emb))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (cand.withColumn("cosine", cos)
+                .withColumn("sim_rank", F.row_number().over(w))
+                .where(F.col("sim_rank") <= k)
+                .select(q_id, id_col, "sim_rank",
+                        F.round("cosine", 6).alias("cosine_r")))
