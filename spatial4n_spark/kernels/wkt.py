@@ -21,7 +21,6 @@ exceptions, mirroring engine kernels' no-throw rule).
 """
 from __future__ import annotations
 
-import math
 import re
 from typing import Optional
 

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType,
                                IntegerType, StringType, StructField,
                                StructType)
 

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+from pyspark.sql.types import (DoubleType, LongType, StringType,
                                StructField, StructType)
 
 TILE_W = 16

@@ -104,7 +104,7 @@ def extract_geo_spans(docs: DataFrame) -> DataFrame:
 
     import pandas as pd
     from pyspark.sql.types import (ArrayType, ByteType, DoubleType,
-                                   IntegerType, LongType, StringType,
+                                   IntegerType, StringType,
                                    StructField, StructType)
 
     from ..kernels.wkt import parse_wkt_columns
