@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_multipoint": c.q_wkt_multipoint,
         "geometrycollection_bbox": c.q_geometrycollection_bbox,
         "wkt_multilinestring": c.q_wkt_multilinestring,
+        "wkt_errors": c.q_wkt_errors,
         # --- interleaved-span invariant ---
         "span_integrity": c.q_span_integrity,
         # --- training-data ops: dedup ---
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "wkt_multipoint": c.ORACLE_WKT_MULTIPOINT,
         "geometrycollection_bbox": c.ORACLE_GC_BBOX,
         "wkt_multilinestring": c.ORACLE_WKT_MLS,
+        "wkt_errors": c.ORACLE_WKT_ERRORS,
         "span_integrity": c.ORACLE_SPAN,
         "dedup_exact": c.ORACLE_DEDUP_EXACT,
         "ngram_jaccard": c.ORACLE_NGRAM_JACCARD,

@@ -1994,3 +1994,34 @@ SELECT q_id, vec_id,
 FROM cand
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 5
 """
+
+
+def q_wkt_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-WKT handling: kernels never throw — bad rows carry an
+    error and kind=EMPTY (engine no-throw rule; reference raises
+    ParseException/InvalidShapeException at the same inputs)."""
+    from . import functions as SF
+    src = _load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        f"""CASE o_orderkey % 5
+            WHEN 0 THEN concat('POINT (', cast({_OLON} as string), ' 10)')
+            WHEN 1 THEN 'POINT (1 2'
+            WHEN 2 THEN 'FRISBEE (1 2)'
+            WHEN 3 THEN 'ENVELOPE (10, 20, 1, 5)'
+            ELSE 'ENVELOPE (10, 20, 5, 1)'
+            END AS wkt""")
+    parsed = src.withColumn("s", SF.st_from_wkt(F.col("wkt")))
+    s = F.col("s")
+    return parsed.select(
+        "o_orderkey",
+        s["error"].isNull().alias("ok"),
+        s["kind"].cast("int").alias("kind"))
+
+
+ORACLE_WKT_ERRORS = """
+SELECT o_orderkey,
+       CASE o_orderkey % 5 WHEN 1 THEN false WHEN 2 THEN false
+            WHEN 3 THEN false ELSE true END AS ok,
+       CASE o_orderkey % 5 WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS kind
+FROM orders
+"""
