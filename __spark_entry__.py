@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- spatial joins / relates ---
         "pip_rect_join": c.q_pip_rect_join,
+        "pip_semi_join": c.q_pip_semi_join,
+        "pip_anti_join": c.q_pip_anti_join,
         "polygon_pip_join": c.q_polygon_pip_join,
         "polygon_circle_relate": c.q_polygon_circle_relate,
         "polygon_rect_relate": c.q_polygon_rect_relate,
@@ -104,6 +106,8 @@ def oracle_sql() -> dict[str, str]:
     from spatial4n_spark import contract as c
     return {
         "pip_rect_join": c.ORACLE_PIP_RECT,
+        "pip_semi_join": c.ORACLE_PIP_SEMI,
+        "pip_anti_join": c.ORACLE_PIP_ANTI,
         "polygon_pip_join": c.ORACLE_POLYGON_PIP,
         "polygon_circle_relate": c.ORACLE_POLYGON_CIRCLE,
         "polygon_rect_relate": c.ORACLE_POLYGON_RECT,

@@ -2025,3 +2025,41 @@ SELECT o_orderkey,
        CASE o_orderkey % 5 WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS kind
 FROM orders
 """
+
+
+def q_pip_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial LEFTSEMI: points covered by at least one rect."""
+    from .operators.joins import point_in_shape_join
+    from .plans.strategy import plan_point_shape_join
+    pts = customer_points(spark, sf_dir)
+    rects = nation_rects(spark, sf_dir)
+    plan = plan_point_shape_join(10_000_000, 25, 34.0, 18.0, shape_kinds=(2,))
+    return point_in_shape_join(pts, rects, plan, how="leftsemi") \
+        .select("c_custkey")
+
+
+ORACLE_PIP_SEMI = f"""
+WITH {_CTE_POINTS}, {_CTE_NRECTS}
+SELECT c_custkey FROM pts p
+WHERE EXISTS (SELECT 1 FROM nrects r WHERE
+  {_rect_contains_point_sql('r.minx', 'r.maxx', 'r.miny', 'r.maxy', 'p.x', 'p.y')})
+"""
+
+
+def q_pip_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial LEFTANTI: points covered by no rect."""
+    from .operators.joins import point_in_shape_join
+    from .plans.strategy import plan_point_shape_join
+    pts = customer_points(spark, sf_dir)
+    rects = nation_rects(spark, sf_dir)
+    plan = plan_point_shape_join(10_000_000, 25, 34.0, 18.0, shape_kinds=(2,))
+    return point_in_shape_join(pts, rects, plan, how="leftanti") \
+        .select("c_custkey")
+
+
+ORACLE_PIP_ANTI = f"""
+WITH {_CTE_POINTS}, {_CTE_NRECTS}
+SELECT c_custkey FROM pts p
+WHERE NOT EXISTS (SELECT 1 FROM nrects r WHERE
+  {_rect_contains_point_sql('r.minx', 'r.maxx', 'r.miny', 'r.maxy', 'p.x', 'p.y')})
+"""
