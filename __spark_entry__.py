@@ -20,20 +20,35 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from spatial4n_spark import contract
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the package zip to executors (python workers don't inherit
+    the driver's sys.path in local mode; every UDF needs the module
+    importable worker-side). Idempotent; safe on restricted contexts."""
     from spatial4n_spark.session import package_zip
     try:
         spark.sparkContext.addPyFile(package_zip())
     except Exception:
         pass  # already added or restricted context
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    from spatial4n_spark import contract
+    _ensure_pkg(spark)
     return contract.q_pip_rect_join(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg(spark)
+        return fn(spark, sf_dir)
+    run.__name__ = getattr(fn, "__name__", "query")
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from spatial4n_spark import contract as c
-    return {
+    qs = {
         # --- spatial joins / relates ---
         "pip_rect_join": c.q_pip_rect_join,
         "pip_semi_join": c.q_pip_semi_join,
@@ -100,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cartesian_ops": c.q_cartesian_ops,
         "unit_conversions": c.q_unit_conversions,
     }
+    return {k: _wrap(v) for k, v in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
