@@ -67,3 +67,41 @@ def test_spark_submit_cli_end_to_end(tmp_path):
     assert summary["buckets_run"] == 4
     assert summary["input_rows"] == 500
     assert os.path.exists(os.path.join(out_p, "_manifests", "bucket=0.json"))
+
+
+def test_dedup_job_globally_exact_and_resumable(spark, tmp_path):
+    """Content-hash bucketing makes per-bucket dedup globally exact;
+    the job resumes from manifests like any checkpointed flow."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.jobs import dedup_index as dj
+
+    # docs with deliberate cross-partition duplicates
+    rows = [(f"d{i:04d}", f"text-{i % 37}") for i in range(600)]
+    docs = (spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+            .select("doc_id", F.array(F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"))).alias("spans")))
+    in_p, out_p = str(tmp_path / "in"), str(tmp_path / "out")
+    dj.write_docs_by_content_hash(docs, in_p, n_buckets=6)
+
+    summary = dj.run_dedup_job(spark, in_p, out_p, n_buckets=6,
+                               buckets_per_job=2)
+    assert summary["buckets_run"] == 6
+    idx = dj.read_dedup_index(spark, out_p)
+    got = {(r.text_hash, r.canonical_id, r.dup_count) for r in idx.collect()}
+    # exactly 37 distinct texts, each with the global min doc_id
+    assert len(got) == 37
+    assert idx.agg(F.sum("dup_count")).collect()[0][0] == 600
+    by_hash = {r.text_hash: (r.canonical_id, r.dup_count) for r in idx.collect()}
+    # canonical is the global minimum (duplicates span buckets by doc,
+    # but share a bucket by content): text-0 appears for i=0,37,74...
+    import hashlib
+    h0 = hashlib.md5(b"text-0").hexdigest()
+    assert by_hash[h0][0] == "d0000"
+
+    # resume: all buckets skipped
+    summary2 = dj.run_dedup_job(spark, in_p, out_p, n_buckets=6)
+    assert summary2["buckets_run"] == 0 and summary2["buckets_skipped"] == 6
