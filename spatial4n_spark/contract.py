@@ -823,7 +823,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('raster://tile/', cast(id as string)) AS media_ref")
     pixels = decode_raster_tiles(refs)
     zones = nation_plain_rects(spark, sf_dir)
-    return zonal_stats(pixels, zones).select("rect_id", "px_count", "px_sum", "px_mean")
+    return zonal_stats(pixels, zones).select("rect_id", "px_count", "px_sum")
 
 
 ORACLE_ZONAL = f"""
@@ -837,8 +837,7 @@ px AS (
        unnest(range(0, 16)) AS ii(i),
        unnest(range(0, 16)) AS jj(j)
 )
-SELECT rect_id, count(*) AS px_count, sum(value) AS px_sum,
-       round(sum(value) / CAST(count(*) AS DOUBLE), 6) AS px_mean
+SELECT rect_id, count(*) AS px_count, sum(value) AS px_sum
 FROM px JOIN n2rects
   ON px_lon >= minx AND px_lon <= maxx AND px_lat >= miny AND px_lat <= maxy
 GROUP BY rect_id

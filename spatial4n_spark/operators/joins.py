@@ -87,11 +87,8 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     else:
         join_cond = pts["cell_id"] == cover["cover_cell"]
 
-    if how in ("leftsemi", "leftanti"):
-        # refine must run before the semi/anti projection: join inner
-        # first, refine, then semi/anti by key
-        pass
-
+    # semi/anti also join inner first: the refine must run before the
+    # semi/anti projection, then project distinct point keys below.
     joined = pts.join(cover, join_cond, "inner")
     s = F.col(shape_col)
     # cheap vectorized bbox gate before the exact kernel (JVM-side,
@@ -215,9 +212,13 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
     variant is operators/knn_rings.knn_ring_join).
     """
     if prefilter_radius is not None and prefilter_radius < radius_deg:
+        # localCheckpoint (eager): materialize once, truncate lineage;
+        # blocks are released by the ContextCleaner when the plan is
+        # GC'd — unlike persist(), nothing accumulates across calls in
+        # a long-lived session.
         near = _knn_core(points, queries, k, prefilter_radius, plan,
                          point_x, point_y, query_x, query_y, query_id,
-                         tie_break).persist()
+                         tie_break).localCheckpoint()
         solved = (near.groupBy(query_id).agg(F.count("*").alias("__cnt"))
                       .where(F.col("__cnt") >= k).select(query_id))
         resolved = near.join(F.broadcast(solved), query_id, "leftsemi")

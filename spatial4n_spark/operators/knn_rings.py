@@ -130,7 +130,10 @@ def knn_ring_join(points: DataFrame, queries: DataFrame, k: int,
                   .drop("cell_id"))
         live = (qstat.where(~F.coalesce(F.col("__ok"), F.lit(False)))
                      .select(*[c for c in live.columns]))
-        live = live.persist()
+        # eager localCheckpoint: truncates the per-round lineage AND
+        # releases the previous round's blocks via the ContextCleaner
+        # once unreferenced (persist() would pin them for the session).
+        live = live.localCheckpoint()
         if live.isEmpty():
             live = None
             break

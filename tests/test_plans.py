@@ -99,3 +99,13 @@ def test_whole_stage_codegen_on_tpch(spark):
     # scan-level predicate pushdown + partial aggregation before shuffle
     assert "PushedFilters: [IsNotNull(l_shipdate)" in p
     assert "partial_sum" in p
+
+
+def test_zonal_stats_is_equi_join_not_nested_loop(spark):
+    """zonal_stats must key a broadcast-HASH join on the int64 cell
+    code — never a BroadcastNestedLoopJoin comparing every pixel
+    against every zone (the 100 TB scale-killer)."""
+    out = contract.q_zonal_stats(spark, SF_DIR)
+    p = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
