@@ -54,27 +54,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_semi_join": c.q_pip_semi_join,
         "pip_anti_join": c.q_pip_anti_join,
         "polygon_pip_join": c.q_polygon_pip_join,
+        "polygon_polygon_relate": c.q_polygon_polygon_relate,
         "polygon_circle_relate": c.q_polygon_circle_relate,
         "polygon_rect_relate": c.q_polygon_rect_relate,
         "rect_rect_relate": c.q_rect_rect_relate,
         "circle_rect_relate": c.q_circle_rect_relate,
+        "circle_circle_relate": c.q_circle_circle_relate,
         "distance_pairs": c.q_distance_pairs,
         "dwithin_join": c.q_dwithin_join,
         "knn": c.q_knn,
         "knn_rings": c.q_knn_rings,
         # --- tiling ---
-        "tile_assign": c.q_tile_assign,
+        "tile_assign": c.q_tile_assign_decode,
         "cell_rollup": c.q_cell_rollup,
         "cover_cells": c.q_cover_cells,
-        "cell_decode": c.q_cell_decode,
         "sub_cells": c.q_sub_cells,
         # --- WKT codec ---
         "wkt_point_roundtrip": c.q_wkt_point_roundtrip,
         "wkt_envelope_parse": c.q_wkt_envelope_parse,
         "wkt_writer_roundtrip": c.q_wkt_writer_roundtrip,
-        "wkt_multipoint": c.q_wkt_multipoint,
+        "wkt_multi": c.q_wkt_multi,
         "geometrycollection_bbox": c.q_geometrycollection_bbox,
-        "wkt_multilinestring": c.q_wkt_multilinestring,
         "wkt_errors": c.q_wkt_errors,
         # --- interleaved-span invariant ---
         "span_integrity": c.q_span_integrity,
@@ -82,16 +82,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": c.q_dedup_exact,
         "ngram_jaccard": c.q_ngram_jaccard,
         "minhash_lsh_pairs": c.q_minhash_lsh_pairs,
-        "simhash": c.q_simhash,
-        # --- training-data ops: text analysis ---
-        "token_stats": c.q_token_stats,
-        "text_quality": c.q_text_quality,
-        "lang_guess": c.q_lang_guess,
-        "fingerprint": c.q_fingerprint,
+        # --- training-data ops: text analysis (wide-merged) ---
+        "doc_signatures": c.q_doc_signatures,
+        "text_metrics": c.q_text_metrics,
         # --- similarity search ---
         "embed_knn": c.q_embed_knn,
         "embed_lsh_bucket": c.q_embed_lsh_bucket,
         "embed_neardup": c.q_embed_neardup,
+        "embed_neardup_banded": c.q_embed_neardup_banded,
         "ivf_assign": c.q_ivf_assign,
         "ivf_topk": c.q_ivf_topk,
         # --- raster<->vector ---
@@ -99,21 +97,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational coverage ---
         "tpch_pricing_summary": c.q_tpch_pricing_summary,
         "events_sessionize": c.q_events_sessionize,
-        # --- shape algebra: areas / bearing / lines / extent ---
-        "st_area": c.q_st_area,
+        # --- shape algebra: areas / bearing / lines / extent / buffer ---
+        "st_area_ranges": c.q_st_area_ranges,
         "point_on_bearing": c.q_point_on_bearing,
         "line_contains_join": c.q_line_contains_join,
         "linestring_contains": c.q_linestring_contains,
         "extent_agg": c.q_extent_agg,
         "collection_relate": c.q_collection_relate,
-        "circle_circle_relate": c.q_circle_circle_relate,
+        "buffer_shapes": c.q_buffer_shapes,
         # --- codecs / normalization ---
         "legacy_roundtrip": c.q_legacy_roundtrip,
         "binary_roundtrip": c.q_binary_roundtrip,
-        "normalize": c.q_normalize,
-        "xy_range_relate": c.q_xy_range_relate,
+        "normalize_units": c.q_normalize_units,
         "cartesian_ops": c.q_cartesian_ops,
-        "unit_conversions": c.q_unit_conversions,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -125,54 +121,50 @@ def oracle_sql() -> dict[str, str]:
         "pip_semi_join": c.ORACLE_PIP_SEMI,
         "pip_anti_join": c.ORACLE_PIP_ANTI,
         "polygon_pip_join": c.ORACLE_POLYGON_PIP,
+        "polygon_polygon_relate": c.ORACLE_POLYGON_POLYGON,
         "polygon_circle_relate": c.ORACLE_POLYGON_CIRCLE,
         "polygon_rect_relate": c.ORACLE_POLYGON_RECT,
         "rect_rect_relate": c.ORACLE_RECT_RECT,
         "circle_rect_relate": c.ORACLE_CIRCLE_RECT,
+        "circle_circle_relate": c.ORACLE_CIRCLE_CIRCLE,
         "distance_pairs": c.ORACLE_DISTANCE,
         "dwithin_join": c.ORACLE_DWITHIN,
         "knn": c.ORACLE_KNN,
         "knn_rings": c.ORACLE_KNN_RINGS,
-        "tile_assign": c.ORACLE_TILE,
+        "tile_assign": c.ORACLE_TILE_DECODE,
         "cell_rollup": c.ORACLE_ROLLUP,
         "cover_cells": c.ORACLE_COVER,
-        "cell_decode": c.ORACLE_CELL_DECODE,
         "sub_cells": c.ORACLE_SUB_CELLS,
         "wkt_point_roundtrip": c.ORACLE_WKT_POINT,
         "wkt_envelope_parse": c.ORACLE_WKT_ENVELOPE,
         "wkt_writer_roundtrip": c.ORACLE_WKT_WRITER,
-        "wkt_multipoint": c.ORACLE_WKT_MULTIPOINT,
+        "wkt_multi": c.ORACLE_WKT_MULTI,
         "geometrycollection_bbox": c.ORACLE_GC_BBOX,
-        "wkt_multilinestring": c.ORACLE_WKT_MLS,
         "wkt_errors": c.ORACLE_WKT_ERRORS,
         "span_integrity": c.ORACLE_SPAN,
         "dedup_exact": c.ORACLE_DEDUP_EXACT,
-        "ngram_jaccard": c.ORACLE_NGRAM_JACCARD,
+        "ngram_jaccard": c.ORACLE_NGRAM_LSH,
         "minhash_lsh_pairs": c.ORACLE_MINHASH_LSH,
-        "simhash": c.ORACLE_SIMHASH,
-        "token_stats": c.ORACLE_TOKEN_STATS,
-        "text_quality": c.ORACLE_QUALITY,
-        "lang_guess": c.ORACLE_LANG,
-        "fingerprint": c.ORACLE_FINGERPRINT,
+        "doc_signatures": c.ORACLE_DOC_SIGNATURES,
+        "text_metrics": c.ORACLE_TEXT_METRICS,
         "embed_knn": c.ORACLE_EMBED_KNN,
         "embed_lsh_bucket": c.ORACLE_EMBED_LSH,
         "embed_neardup": c.ORACLE_EMBED_NEARDUP,
+        "embed_neardup_banded": c.ORACLE_EMBED_NEARDUP_BANDED,
         "ivf_assign": c.ORACLE_IVF_ASSIGN,
         "ivf_topk": c.ORACLE_IVF_TOPK,
         "zonal_stats": c.ORACLE_ZONAL,
         "tpch_pricing_summary": c.ORACLE_TPCH_Q1,
         "events_sessionize": c.ORACLE_EVENTS,
-        "st_area": c.ORACLE_AREA,
+        "st_area_ranges": c.ORACLE_ST_AREA_RANGES,
         "point_on_bearing": c.ORACLE_BEARING,
         "line_contains_join": c.ORACLE_LINE,
         "linestring_contains": c.ORACLE_LINESTRING,
         "extent_agg": c.ORACLE_EXTENT,
         "collection_relate": c.ORACLE_COLLECTION,
-        "circle_circle_relate": c.ORACLE_CIRCLE_CIRCLE,
+        "buffer_shapes": c.ORACLE_BUFFER,
         "legacy_roundtrip": c.ORACLE_LEGACY,
         "binary_roundtrip": c.ORACLE_BINARY,
-        "normalize": c.ORACLE_NORM,
-        "xy_range_relate": c.ORACLE_XY_RANGE,
+        "normalize_units": c.ORACLE_NORMALIZE_UNITS,
         "cartesian_ops": c.ORACLE_CARTESIAN,
-        "unit_conversions": c.ORACLE_UNITS,
     }

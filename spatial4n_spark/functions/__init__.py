@@ -498,6 +498,96 @@ def st_relate_polygon_rect(xs: pd.Series, ys: pd.Series,
     return pd.Series(out)
 
 
+@pandas_udf(SHAPE_SCHEMA)
+def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
+              radius: pd.Series, minx: pd.Series, maxx: pd.Series,
+              miny: pd.Series, maxy: pd.Series,
+              dist: pd.Series) -> pd.DataFrame:
+    """GetBuffered(distance) for point/circle/rect shape structs.
+
+    Point -> circle(distance) (PointImpl.cs:67-70); circle -> radius
+    grows, clamped to 180 (CircleImpl.cs:78-81 + MakeCircle clamp);
+    rect -> pole-wrap / lon-skew expansion (RectangleImpl.cs:76-114,
+    kernels.buffer.buffer_rect). Other kinds -> error row."""
+    from ..kernels.buffer import buffer_rect
+    from ..kernels.circle_box import geo_circle_bbox
+    n = len(kind)
+    k = kind.to_numpy(dtype=np.int8, na_value=0)
+    d = dist.to_numpy(dtype=np.float64, na_value=np.nan)
+    out = {f.name: np.full(n, np.nan) for f in SHAPE_FIELDS
+           if f.name not in ("kind", "xs", "ys", "ring_offsets", "error")}
+    okind = np.zeros(n, dtype=np.int8)
+    err = np.full(n, None, dtype=object)
+
+    pt = k == 1
+    if pt.any():
+        cx = x.to_numpy(dtype=np.float64, na_value=np.nan)
+        cy = y.to_numpy(dtype=np.float64, na_value=np.nan)
+        r = np.minimum(d, 180.0)
+        bminx, bmaxx, bminy, bmaxy = geo_circle_bbox(cx, cy, r)
+        for nm, v in (("x", cx), ("y", cy), ("radius", r), ("minx", bminx),
+                      ("maxx", bmaxx), ("miny", bminy), ("maxy", bmaxy)):
+            out[nm][pt] = v[pt]
+        okind[pt] = 3
+    ci = k == 3
+    if ci.any():
+        cx = x.to_numpy(dtype=np.float64, na_value=np.nan)
+        cy = y.to_numpy(dtype=np.float64, na_value=np.nan)
+        r = np.minimum(radius.to_numpy(dtype=np.float64, na_value=np.nan) + d, 180.0)
+        bminx, bmaxx, bminy, bmaxy = geo_circle_bbox(cx, cy, r)
+        for nm, v in (("x", cx), ("y", cy), ("radius", r), ("minx", bminx),
+                      ("maxx", bmaxx), ("miny", bminy), ("maxy", bmaxy)):
+            out[nm][ci] = v[ci]
+        okind[ci] = 3
+    rc = k == 2
+    if rc.any():
+        bminx, bmaxx, bminy, bmaxy = buffer_rect(
+            minx.to_numpy(dtype=np.float64, na_value=np.nan),
+            maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+            miny.to_numpy(dtype=np.float64, na_value=np.nan),
+            maxy.to_numpy(dtype=np.float64, na_value=np.nan), d)
+        for nm, v in (("minx", bminx), ("maxx", bmaxx),
+                      ("miny", bminy), ("maxy", bmaxy)):
+            out[nm][rc] = v[rc]
+        okind[rc] = 2
+    bad = ~(pt | ci | rc)
+    if bad.any():
+        err[bad] = "st_buffer: unsupported shape kind"
+    cols = {"kind": okind}
+    for f in SHAPE_FIELDS:
+        if f.name == "kind":
+            continue
+        if f.name in ("xs", "ys", "ring_offsets"):
+            cols[f.name] = [None] * n
+        elif f.name == "error":
+            cols[f.name] = err
+        else:
+            v = out[f.name]
+            cols[f.name] = np.where(np.isnan(v), None, v)
+    return pd.DataFrame(cols)
+
+
+@pandas_udf(ByteType())
+def st_relate_polygon_polygon(axs: pd.Series, ays: pd.Series,
+                              aro: pd.Series,
+                              bxs: pd.Series, bys: pd.Series,
+                              bro: pd.Series) -> pd.Series:
+    """A.Relate(B) for two (multi)polygons, COVERS semantics
+    (NtsGeometry.cs:283-314 DE-9IM -> SpatialRelation mapping,
+    exact split-probe covers test in kernels.pip)."""
+    from ..kernels.pip import relate_polygon_polygon
+    out = np.empty(len(axs), dtype=np.int8)
+    for i in range(len(axs)):
+        ar = aro.iloc[i]
+        br = bro.iloc[i]
+        out[i] = relate_polygon_polygon(
+            np.asarray(axs.iloc[i]), np.asarray(ays.iloc[i]),
+            np.asarray(ar) if ar is not None else None,
+            np.asarray(bxs.iloc[i]), np.asarray(bys.iloc[i]),
+            np.asarray(br) if br is not None else None)
+    return pd.Series(out)
+
+
 def make_st_to_wkt(decimals: int | None = None):
     """WKT formatter UDF factory (shape struct -> text)."""
     @pandas_udf(StringType())

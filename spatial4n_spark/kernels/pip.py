@@ -257,3 +257,164 @@ def relate_polygon_circle(xs, ys, ring_offsets, minx, maxx, miny, maxy,
             np.array([cx]), np.array([cy]), xs, ys, ring_offsets)[0])
         return CONTAINS if center_in else DISJOINT
     return WITHIN
+
+
+# ---------------------------------------------------------------------------
+# polygon <-> polygon relate (NtsGeometry.cs:283-314: Covers -> CONTAINS,
+# CoveredBy -> WITHIN, Disjoint -> DISJOINT, else INTERSECTS — Spatial4j
+# CONTAINS/WITHIN are OGC COVERS/COVEREDBY, boundary-inclusive)
+# ---------------------------------------------------------------------------
+
+def _poly_edge_arrays(xs, ys, ring_offsets):
+    """All boundary edges of a (multi)polygon as (ax, ay, bx, by) arrays,
+    closing each ring (outer shells and holes alike)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    rings = ([(0, len(xs))] if ring_offsets is None or len(ring_offsets) < 2
+             else [(ring_offsets[k], ring_offsets[k + 1])
+                   for k in range(len(ring_offsets) - 1)])
+    pax, pay, pbx, pby = [], [], [], []
+    for s, e in rings:
+        rx, ry = xs[s:e], ys[s:e]
+        if len(rx) >= 2 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+            rx, ry = rx[:-1], ry[:-1]
+        if len(rx) < 2:
+            continue
+        pax.append(rx)
+        pay.append(ry)
+        pbx.append(np.roll(rx, -1))
+        pby.append(np.roll(ry, -1))
+    if not pax:
+        z = np.empty(0, dtype=np.float64)
+        return z, z, z, z
+    return (np.concatenate(pax), np.concatenate(pay),
+            np.concatenate(pbx), np.concatenate(pby))
+
+
+def _edge_split_ts(cx, cy, dx, dy, ax, ay, bx, by):
+    """Sorted unique t-params in [0,1] where segment c->d meets any of
+    the segments a->b (arrays), always including 0 and 1.
+
+    Splitting at every boundary contact makes the in/out status of each
+    sub-segment constant — the basis of the exact covers test."""
+    rx, ry = dx - cx, dy - cy
+    sx, sy = bx - ax, by - ay
+    denom = rx * sy - ry * sx
+    qpx, qpy = ax - cx, ay - cy
+    ts = [0.0, 1.0]
+    nz = denom != 0.0
+    if nz.any():
+        t = (qpx[nz] * sy[nz] - qpy[nz] * sx[nz]) / denom[nz]
+        u = (qpx[nz] * ry - qpy[nz] * rx) / denom[nz]
+        ok = (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        ts.extend(t[ok].tolist())
+    # collinear overlap: denom == 0 and (a-c) x r == 0
+    col = (~nz) & (qpx * ry - qpy * rx == 0.0)
+    if col.any():
+        rr = rx * rx + ry * ry
+        if rr > 0.0:
+            ta = (qpx[col] * rx + qpy[col] * ry) / rr
+            tb = ((bx[col] - cx) * rx + (by[col] - cy) * ry) / rr
+            for arr in (ta, tb):
+                cl = np.clip(arr, 0.0, 1.0)
+                ts.extend(cl.tolist())
+    return np.unique(np.asarray(ts, dtype=np.float64))
+
+
+def _on_polygon_boundary(px, py, xs, ys, ring_offsets) -> np.ndarray:
+    """Points lying on ANY ring boundary of a (multi)polygon."""
+    ax, ay, bx, by = _poly_edge_arrays(xs, ys, ring_offsets)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(px.shape, dtype=bool)
+    for i in range(len(ax)):
+        cross = (bx[i] - ax[i]) * (py - ay[i]) - (by[i] - ay[i]) * (px - ax[i])
+        out |= ((cross == 0.0)
+                & (px >= min(ax[i], bx[i])) & (px <= max(ax[i], bx[i]))
+                & (py >= min(ay[i], by[i])) & (py <= max(ay[i], by[i])))
+    return out
+
+
+def _polygon_covers_polygon(axs, ays, aro, bxs, bys, bro) -> bool:
+    """Closed A covers closed B: no point of B lies outside A.
+
+    Two exact conditions (both split edges at every boundary contact,
+    making each sub-segment's status constant):
+    1. boundary of B is inside closed A — every B vertex and every B
+       sub-segment midpoint probes in (parity PIP handles A's holes);
+    2. boundary of A never passes STRICTLY through B's interior — else
+       a complement neighborhood of A (e.g. one of A's holes sitting
+       inside B) would expose uncovered B-interior that condition 1
+       cannot see because it only walks B's boundary.
+    """
+    bxs = np.asarray(bxs, dtype=np.float64)
+    bys = np.asarray(bys, dtype=np.float64)
+    if not points_in_polygon(bxs, bys, axs, ays, aro).all():
+        return False
+    eax, eay, ebx, eby = _poly_edge_arrays(axs, ays, aro)
+    cax, cay, cbx, cby = _poly_edge_arrays(bxs, bys, bro)
+    for j in range(len(cax)):
+        ts = _edge_split_ts(cax[j], cay[j], cbx[j], cby[j], eax, eay, ebx, eby)
+        if len(ts) < 2:
+            continue
+        mids_t = (ts[:-1] + ts[1:]) * 0.5
+        mx = cax[j] + mids_t * (cbx[j] - cax[j])
+        my = cay[j] + mids_t * (cby[j] - cay[j])
+        if not points_in_polygon(mx, my, axs, ays, aro).all():
+            return False
+    # condition 2: walk A's edges against B
+    for j in range(len(eax)):
+        ts = _edge_split_ts(eax[j], eay[j], ebx[j], eby[j], cax, cay, cbx, cby)
+        if len(ts) < 2:
+            continue
+        mids_t = (ts[:-1] + ts[1:]) * 0.5
+        mx = eax[j] + mids_t * (ebx[j] - eax[j])
+        my = eay[j] + mids_t * (eby[j] - eay[j])
+        strict = (points_in_polygon(mx, my, bxs, bys, bro)
+                  & ~_on_polygon_boundary(mx, my, bxs, bys, bro))
+        if strict.any():
+            return False
+    return True
+
+
+def _any_boundary_contact(axs, ays, aro, bxs, bys, bro) -> bool:
+    eax, eay, ebx, eby = _poly_edge_arrays(axs, ays, aro)
+    cax, cay, cbx, cby = _poly_edge_arrays(bxs, bys, bro)
+    for j in range(len(cax)):
+        if _segments_intersect_batch(eax, eay, ebx, eby,
+                                     np.float64(cax[j]), np.float64(cay[j]),
+                                     np.float64(cbx[j]), np.float64(cby[j])).any():
+            return True
+    return False
+
+
+def relate_polygon_polygon(axs, ays, aro, bxs, bys, bro) -> int:
+    """A.Relate(B) for two (multi)polygons with holes -> code.
+
+    Mapping per NtsGeometry.IntersectionMatrixToSpatialRelation
+    (NtsGeometry.cs:303-314): COVERS -> CONTAINS, COVEREDBY -> WITHIN,
+    DISJOINT -> DISJOINT, else INTERSECTS. Boundary-only touch is
+    INTERSECTS (OGC disjoint = no shared points at all) unless one
+    covers the other. Dateline-crossing inputs are page-split upstream
+    (wkt.py), same as every other polygon kernel here."""
+    axs = np.asarray(axs, dtype=np.float64)
+    ays = np.asarray(ays, dtype=np.float64)
+    bxs = np.asarray(bxs, dtype=np.float64)
+    bys = np.asarray(bys, dtype=np.float64)
+    if axs.size == 0 or bxs.size == 0:
+        return DISJOINT
+    if (axs.min() > bxs.max() or axs.max() < bxs.min()
+            or ays.min() > bys.max() or ays.max() < bys.min()):
+        return DISJOINT
+    if _polygon_covers_polygon(axs, ays, aro, bxs, bys, bro):
+        return CONTAINS
+    if _polygon_covers_polygon(bxs, bys, bro, axs, ays, aro):
+        return WITHIN
+    if _any_boundary_contact(axs, ays, aro, bxs, bys, bro):
+        return INTERSECTS
+    # no boundary contact: each connected piece is wholly in or out, so
+    # a vertex probe per side decides shared area (covers A-in-hole-of-B)
+    if (points_in_polygon(bxs, bys, axs, ays, aro).any()
+            or points_in_polygon(axs, ays, bxs, bys, bro).any()):
+        return INTERSECTS
+    return DISJOINT

@@ -116,3 +116,66 @@ def embedding_neardup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     return (pairs.withColumn("cosine", cos)
                  .where(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r")))
+
+
+def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame,
+                           id_col: str = "doc_id", text: str = "text",
+                           n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard refine over candidate pairs (doc_a, doc_b)
+    — the production composition: LSH banding proposes, Jaccard
+    disposes. Shingle sets are materialized once per doc and joined to
+    both sides (two narrow equi-joins, never all-pairs)."""
+    sh = shingles_expr(text, n)
+    s = df.select(F.col(id_col).alias("__id"), F.expr(sh).alias("__sh"))
+    j = (pairs.join(s.withColumnRenamed("__id", "doc_a")
+                     .withColumnRenamed("__sh", "sh_a"), "doc_a")
+              .join(s.withColumnRenamed("__id", "doc_b")
+                     .withColumnRenamed("__sh", "sh_b"), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select("doc_a", "doc_b",
+                    F.round(inter / union.cast("double"), 6).alias("jaccard"))
+
+
+def embedding_neardup_banded(embeddings: DataFrame, id_col: str = "vec_id",
+                             emb: str = "embedding",
+                             threshold: float = 0.9,
+                             n_planes: int = 16,
+                             n_tables: int = 4) -> DataFrame:
+    """Banded multi-table embedding near-dup: n_tables independent
+    hyperplane hash tables of n_planes bits each; candidates are pairs
+    colliding in ANY table; exact cosine refine >= threshold.
+
+    The scale story vs the single-table variant: one table of P planes
+    partitions into 2^P buckets — with P small enough for recall, the
+    within-bucket pair count grows O(N^2 / 2^P). Banding keeps P large
+    (tight buckets whose sizes stay bounded as N grows) and recovers
+    recall through table multiplicity: collision prob for cosine c is
+    1 - (1 - p^P)^T with p = 1 - acos(c)/pi. At 1e9 rows: P=16-24,
+    T=4-8; bucket join stays a shuffle on (table, bucket) keys.
+    """
+    from .similarity import cosine_expr, hyperplane_bucket_expr
+    tagged = embeddings.select(
+        F.col(id_col), F.col(emb),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.expr(hyperplane_bucket_expr(emb, n_planes, t * n_planes))
+                      .alias("bkt"))
+            for t in range(n_tables)])).alias("e")
+    ).select(id_col, emb, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+    left = tagged.select(F.col(id_col).alias("id_a"), "tbl", "bkt")
+    right = tagged.select(F.col(id_col).alias("id_b"), "tbl", "bkt")
+    # dedupe candidate ids BEFORE rejoining vectors: the distinct runs
+    # on narrow (id_a, id_b) rows, never shuffling embedding arrays
+    cand = (left.join(right, ["tbl", "bkt"], "inner")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+    e = embeddings.select(F.col(id_col), F.col(emb))
+    pairs = (cand.join(e.withColumnRenamed(id_col, "id_a")
+                        .withColumnRenamed(emb, "__ea"), "id_a")
+                 .join(e.withColumnRenamed(id_col, "id_b")
+                        .withColumnRenamed(emb, "__eb"), "id_b"))
+    cos = F.expr(cosine_expr("__ea", "__eb"))
+    return (pairs.withColumn("cosine", cos)
+                 .where(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r")))

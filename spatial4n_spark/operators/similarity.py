@@ -44,20 +44,23 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int,
              .select(q_id, id_col, "sim_rank", F.round("cosine", 6).alias("cosine_r")))
 
 
-def hyperplane_bucket_expr(emb: str = "embedding", n_planes: int = 8) -> str:
+def hyperplane_bucket_expr(emb: str = "embedding", n_planes: int = 8,
+                           offset: int = 0) -> str:
     """LSH bucket id from sign bits of deterministic pseudo-random
     hyperplanes: coef(j, i) = ((j*78233 + i*40503) % 1000003) - 501001.
 
     Integer coefficients -> the oracle reproduces buckets exactly; the
     dot value is O(1e4), so float noise never flips a sign in practice.
+    `offset` shifts the plane index so independent hash tables (banded
+    multi-table LSH) draw disjoint hyperplane sets.
     """
     bits = []
-    for j in range(n_planes):
+    for j in range(offset, offset + n_planes):
         dot = (f"aggregate(zip_with({emb}, sequence(0, size({emb}) - 1), "
                f"(v, i) -> cast(v as double) * "
                f"(cast(({j} * 78233 + i * 40503) % 1000003 as double) - 501001.0)), "
                f"cast(0 as double), (acc, x) -> acc + x)")
-        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << (j - offset)} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
