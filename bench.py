@@ -32,7 +32,9 @@ def main() -> None:
     from spatial4n_spark.operators.joins import point_in_shape_join, with_point_cell
     from spatial4n_spark.plans.strategy import plan_point_shape_join
     from spatial4n_spark.session import get_spark
-    from spatial4n_spark.sources.docs import extract_geo_spans, generate_docs
+    from spatial4n_spark.sources.docs import (extract_geo_spans,
+                                              extract_point_spans,
+                                              generate_docs)
 
     spark = get_spark("spatial4n_spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,10 +61,9 @@ def main() -> None:
     plan = plan_point_shape_join(n_docs, 25, 34.0, 18.0, shape_kinds=(2,))
 
     def flagship():
-        geo = extract_geo_spans(docs)
-        pts = (geo.where(F.col("shape.kind") == 1)
-                  .select("doc_id", F.col("shape.x").alias("x"),
-                          F.col("shape.y").alias("y")))
+        # JVM point fast path: regexp+try_cast parse, zero Python in the
+        # plan (bit-identical to the pandas parser — test_point_fastpath)
+        pts = extract_point_spans(docs).select("doc_id", "x", "y")
         pts = with_point_cell(pts, "x", "y", plan.precision)  # tile assignment
         out = point_in_shape_join(pts, rects, plan)
         return out.count()
@@ -76,12 +77,14 @@ def main() -> None:
 
     # --- headline contract queries at sf_dir ---
     headline = [
-        "pip_rect_join", "polygon_pip_join", "dwithin_join", "knn",
-        "knn_rings", "tile_assign", "cell_rollup", "cover_cells",
-        "circle_rect_relate", "polygon_rect_relate", "collection_relate",
-        "extent_agg", "st_area", "line_contains_join",
-        "dedup_exact", "minhash_lsh_pairs", "embed_knn", "embed_neardup",
-        "zonal_stats", "span_integrity", "legacy_roundtrip", "normalize",
+        "pip_rect_join", "polygon_pip_join", "polygon_polygon_relate",
+        "dwithin_join", "knn", "knn_rings", "tile_assign", "cell_rollup",
+        "cover_cells", "circle_rect_relate", "polygon_rect_relate",
+        "collection_relate", "extent_agg", "st_area_ranges",
+        "line_contains_join", "buffer_shapes", "dedup_exact",
+        "minhash_lsh_pairs", "embed_knn", "embed_neardup",
+        "embed_neardup_banded", "zonal_stats", "span_integrity",
+        "legacy_roundtrip", "normalize_units",
     ]
     import __spark_entry__ as entry
     qs = entry.queries()

@@ -45,7 +45,7 @@ def run_worker(cpus: int) -> None:
                                                  with_point_cell)
     from spatial4n_spark.plans.strategy import plan_point_shape_join
     from spatial4n_spark.session import get_spark
-    from spatial4n_spark.sources.docs import extract_geo_spans, generate_docs
+    from spatial4n_spark.sources.docs import extract_point_spans, generate_docs
 
     spark = get_spark(f"bench-scaling-{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,10 +56,8 @@ def run_worker(cpus: int) -> None:
     plan = plan_point_shape_join(N_DOCS, 25, 34.0, 18.0, shape_kinds=(2,))
 
     def flagship() -> int:
-        geo = extract_geo_spans(docs)
-        pts = (geo.where(F.col("shape.kind") == 1)
-                  .select("doc_id", F.col("shape.x").alias("x"),
-                          F.col("shape.y").alias("y")))
+        # JVM point fast path (BENCH.md round 2): no Python stage at all
+        pts = extract_point_spans(docs).select("doc_id", "x", "y")
         pts = with_point_cell(pts, "x", "y", plan.precision)
         return point_in_shape_join(pts, rects, plan).count()
 

@@ -84,6 +84,7 @@ class Manifest:
     transform: str           # name of the transform fn (lineage)
     wall_s: float            # wall time of the containing job group
     completed_at: float
+    n_buckets: int = 0       # bucketing scheme the run used (0 = legacy)
 
 
 def _manifest_dir(out_path: str) -> str:
@@ -117,15 +118,22 @@ def load_manifests(out_path: str) -> dict[int, Manifest]:
 
 
 def pending_buckets(out_path: str, in_path: str, n_buckets: int,
-                    kver: str | None = None) -> list[int]:
-    """Buckets with no valid manifest (missing, stale kernel, or
-    different input lineage)."""
+                    kver: str | None = None,
+                    transform_name: str | None = None) -> list[int]:
+    """Buckets with no valid manifest. A manifest is only valid when
+    its FULL identity matches the current run — kernel version, input
+    lineage, transform name, and bucket count — so re-invoking the same
+    out_path with a different job never silently skips another job's
+    output."""
     kver = kver or kernel_version()
     done = load_manifests(out_path)
-    return [b for b in range(n_buckets)
-            if not (b in done
-                    and done[b].kernel_version == kver
-                    and done[b].input_path == in_path)]
+
+    def ok(m: Manifest) -> bool:
+        return (m.kernel_version == kver
+                and m.input_path == in_path
+                and m.n_buckets == n_buckets
+                and (transform_name is None or m.transform == transform_name))
+    return [b for b in range(n_buckets) if not (b in done and ok(done[b]))]
 
 
 def run_checkpointed(spark: SparkSession, in_path: str, out_path: str,
@@ -141,7 +149,8 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str,
     Returns a summary dict: buckets run/skipped, total rows, wall time.
     """
     kver = kernel_version()
-    todo = pending_buckets(out_path, in_path, n_buckets, kver)
+    tname = getattr(transform, "__name__", "transform")
+    todo = pending_buckets(out_path, in_path, n_buckets, kver, tname)
     skipped = n_buckets - len(todo)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -164,7 +173,17 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str,
             raise ValueError("transform must preserve the 'bucket' column")
         result = result.observe(out_obs, *per_bucket)
 
-        # dynamic overwrite: replaces exactly bucket=K dirs (idempotent)
+        # dynamic overwrite only replaces partitions PRESENT in the new
+        # output: a re-run bucket that now yields 0 rows would leave its
+        # stale dir behind while the fresh manifest says output_rows=0.
+        # Drop the group's bucket dirs first so the write is a true
+        # replace (the Iceberg analog is overwritePartitions / a
+        # DELETE WHERE bucket IN (...) in the same transaction).
+        import shutil
+        for b in group:
+            bdir = os.path.join(out_path, "data", f"{BUCKET_COL}={b}")
+            if os.path.isdir(bdir):
+                shutil.rmtree(bdir)
         (result.write.mode("overwrite").partitionBy(BUCKET_COL)
                .parquet(os.path.join(out_path, "data")))
         wall = time.time() - t0
@@ -175,9 +194,9 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str,
             m = Manifest(bucket=b, input_path=in_path,
                          input_rows=int(in_counts[f"b{b}"] or 0),
                          output_rows=int(out_counts[f"b{b}"] or 0),
-                         kernel_version=kver,
-                         transform=getattr(transform, "__name__", "transform"),
-                         wall_s=round(wall, 3), completed_at=time.time())
+                         kernel_version=kver, transform=tname,
+                         wall_s=round(wall, 3), completed_at=time.time(),
+                         n_buckets=n_buckets)
             _write_manifest(out_path, m)
             total_in += m.input_rows
             total_out += m.output_rows

@@ -422,7 +422,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None, max_cover_cells=4096)
     out = knn_join(pts, qs, k=5, radius_deg=60.0, plan=plan,
                    query_id="query_id", tie_break="point_id",
-                   prefilter_radius=8.0)
+                   prefilter_radius=(6.0, 20.0))
     return out.select(F.col("query_id").alias("circle_id"),
                       F.col("point_id").alias("c_custkey"),
                       F.col("knn_rank").cast("int").alias("knn_rank"))
@@ -523,16 +523,30 @@ def q_wkt_point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import functions as SF
     pts = customer_points(spark, sf_dir)
     wkt = F.expr("concat('POINT (', cast(x as string), ' ', cast(y as string), ')')")
-    parsed = pts.withColumn("shape", SF.st_from_wkt(wkt))
+    # ParseUtils 'lat, lon' ingest (Io/ParseUtils.cs:162-191) folded into
+    # the same round-trip: every 97th row carries an out-of-range
+    # latitude and must surface an error, not a shape
+    ll = F.expr("""CASE WHEN c_custkey % 97 = 0
+        THEN concat(cast(y + 250.0 as string), ' , ', cast(x as string))
+        ELSE concat(cast(y as string), ' , ', cast(x as string)) END""")
+    parsed = (pts.withColumn("shape", SF.st_from_wkt(wkt))
+                 .withColumn("llshape", SF.st_from_latlon(ll)))
     return parsed.select("c_custkey",
                          F.col("shape.x").alias("px"),
                          F.col("shape.y").alias("py"),
-                         F.col("shape.kind").cast("int").alias("kind"))
+                         F.col("shape.kind").cast("int").alias("kind"),
+                         F.col("llshape.x").alias("llx"),
+                         F.col("llshape.y").alias("lly"),
+                         F.col("llshape.error").isNotNull().alias("ll_err"))
 
 
 ORACLE_WKT_POINT = f"""
 WITH {_CTE_POINTS}
-SELECT c_custkey, x AS px, y AS py, 1 AS kind FROM pts
+SELECT c_custkey, x AS px, y AS py, 1 AS kind,
+       CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE x END AS llx,
+       CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE y END AS lly,
+       (c_custkey % 97 = 0) AS ll_err
+FROM pts
 """
 
 
@@ -1923,17 +1937,25 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import functions as SF
     src = _load(spark, sf_dir, "part").selectExpr(
         "p_partkey",
-        f"""CASE p_partkey % 3
+        f"""CASE p_partkey % 5
             WHEN 0 THEN concat('POINT (', cast({_GLX} as string), ' ', cast({_GLY} as string), ')')
             WHEN 1 THEN concat('ENVELOPE (', cast({_GLX} as string), ', ', cast({_GMAXX} as string),
                                ', ', cast({_GMAXY} as string), ', ', cast({_GLY} as string), ')')
-            ELSE concat('BUFFER(POINT(', cast({_GLX} as string), ' ',
+            WHEN 2 THEN concat('BUFFER(POINT(', cast({_GLX} as string), ' ',
                         cast(({_GLY} / 2.0) as string), '), ', cast({_GLR} as string), ')')
+            WHEN 3 THEN concat('LINESTRING (', cast({_GLX} as string), ' ', cast({_GLY} as string),
+                        ', ', cast(({_GLX} + 7.31) as string), ' ', cast(({_GLY} + 0.93) as string),
+                        ', ', cast(({_GLX} + 3.17) as string), ' ', cast(({_GLY} + 5.71) as string), ')')
+            ELSE concat('POLYGON((', cast({_GLX} as string), ' ', cast({_GLY} as string),
+                        ', ', cast(({_GLX} + 7.31) as string), ' ', cast(({_GLY} + 0.93) as string),
+                        ', ', cast(({_GLX} + 3.17) as string), ' ', cast(({_GLY} + 5.71) as string),
+                        ', ', cast({_GLX} as string), ' ', cast({_GLY} as string), '))')
             END AS wkt""")
     parsed = src.withColumn("s1", SF.st_from_wkt(F.col("wkt")))
     s1 = F.col("s1")
     enc = SF.st_to_binary(s1["kind"], s1["x"], s1["y"], s1["radius"],
-                          s1["minx"], s1["maxx"], s1["miny"], s1["maxy"])
+                          s1["minx"], s1["maxx"], s1["miny"], s1["maxy"],
+                          s1["xs"], s1["ys"], s1["ring_offsets"])
     dec = parsed.withColumn("blob", enc).withColumn("s2", SF.st_from_binary(F.col("blob")))
     s2 = F.col("s2")
     return dec.select(
@@ -1941,12 +1963,14 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("blob").cast("int").alias("nbytes"),
         s2["x"].alias("x"), s2["y"].alias("y"), s2["radius"].alias("radius"),
         F.round(s2["minx"], 6).alias("minx"), F.round(s2["maxx"], 6).alias("maxx"),
-        F.round(s2["miny"], 6).alias("miny"), F.round(s2["maxy"], 6).alias("maxy"))
+        F.round(s2["miny"], 6).alias("miny"), F.round(s2["maxy"], 6).alias("maxy"),
+        F.size(s2["xs"]).cast("int").alias("n_vertices"),
+        (F.size(s2["ring_offsets"]) - 1).cast("int").alias("n_rings"))
 
 
 ORACLE_BINARY = f"""
 WITH base AS (
-  SELECT p_partkey, p_partkey % 3 AS fmt, {_GLX} AS gx, {_GLY} AS gy,
+  SELECT p_partkey, p_partkey % 5 AS fmt, {_GLX} AS gx, {_GLY} AS gy,
          ({_GLY} / 2.0) AS cy, {_GLR} AS gr, {_GMAXX} AS gmaxx, {_GMAXY} AS gmaxy
   FROM part
 ),
@@ -1954,15 +1978,22 @@ dl AS (
   SELECT *, asin(sin(gr * {_D2R}) / cos(cy * {_D2R})) * {_RDEG} AS dlon FROM base
 )
 SELECT p_partkey,
-       CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS kind,
-       CASE fmt WHEN 0 THEN 17 WHEN 1 THEN 33 ELSE 25 END AS nbytes,
-       CASE fmt WHEN 0 THEN gx WHEN 1 THEN NULL ELSE gx END AS x,
-       CASE fmt WHEN 0 THEN gy WHEN 1 THEN NULL ELSE cy END AS y,
-       CASE fmt WHEN 2 THEN gr ELSE NULL END AS radius,
-       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gx ELSE gx - dlon END, 6) AS minx,
-       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gmaxx ELSE gx + dlon END, 6) AS maxx,
-       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gy ELSE cy - gr END, 6) AS miny,
-       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gmaxy ELSE cy + gr END, 6) AS maxy
+       CASE fmt WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 7 END AS kind,
+       CASE fmt WHEN 0 THEN 17 WHEN 1 THEN 33 WHEN 2 THEN 25
+                WHEN 3 THEN 58 ELSE 78 END AS nbytes,
+       CASE fmt WHEN 0 THEN gx WHEN 2 THEN gx ELSE NULL END AS x,
+       CASE fmt WHEN 0 THEN gy WHEN 2 THEN cy ELSE NULL END AS y,
+       CASE fmt WHEN 2 THEN gr WHEN 3 THEN 0.0 ELSE NULL END AS radius,
+       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gx WHEN 2 THEN gx - dlon
+                      ELSE gx END, 6) AS minx,
+       round(CASE fmt WHEN 0 THEN gx WHEN 1 THEN gmaxx WHEN 2 THEN gx + dlon
+                      ELSE gx + 7.31 END, 6) AS maxx,
+       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gy WHEN 2 THEN cy - gr
+                      ELSE gy END, 6) AS miny,
+       round(CASE fmt WHEN 0 THEN gy WHEN 1 THEN gmaxy WHEN 2 THEN cy + gr
+                      WHEN 3 THEN gy + 5.71 ELSE gy + 5.71 END, 6) AS maxy,
+       CASE fmt WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE NULL END AS n_vertices,
+       CASE fmt WHEN 4 THEN 1 ELSE NULL END AS n_rings
 FROM dl
 """
 

@@ -499,6 +499,24 @@ def st_relate_polygon_rect(xs: pd.Series, ys: pd.Series,
 
 
 @pandas_udf(SHAPE_SCHEMA)
+def st_from_latlon(texts: pd.Series) -> pd.DataFrame:
+    """'lat, lon' string -> point shape struct (ParseUtils.cs:162-191);
+    range-invalid rows get an error instead of a shape."""
+    recs, errs = _wkt.parse_latlon_batch(texts.tolist())
+    rows = []
+    for rec, err in zip(recs, errs):
+        if rec is None:
+            rows.append(dict(_EMPTY_ROW, error=err))
+        else:
+            rows.append({k: rec.get(k) for k in
+                         ("kind", "x", "y", "radius", "minx", "maxx",
+                          "miny", "maxy")}
+                        | {"xs": None, "ys": None, "ring_offsets": None,
+                           "error": None})
+    return pd.DataFrame(rows)
+
+
+@pandas_udf(SHAPE_SCHEMA)
 def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
               radius: pd.Series, minx: pd.Series, maxx: pd.Series,
               miny: pd.Series, maxy: pd.Series,
@@ -702,15 +720,23 @@ from pyspark.sql.types import BinaryType  # noqa: E402
 @pandas_udf(BinaryType())
 def st_to_binary(kind: pd.Series, x: pd.Series, y: pd.Series,
                  radius: pd.Series, minx: pd.Series, maxx: pd.Series,
-                 miny: pd.Series, maxy: pd.Series) -> pd.Series:
-    """Shape -> reference-layout bytes (Io/BinaryCodec.cs:158-234)."""
+                 miny: pd.Series, maxy: pd.Series,
+                 xs: pd.Series, ys: pd.Series,
+                 ring_offsets: pd.Series) -> pd.Series:
+    """Shape -> reference-layout bytes (Io/BinaryCodec.cs:158-234;
+    geometry kinds via the WKB branch, Io/Nts/NtsBinaryCodec.cs)."""
     from ..kernels import binary as _bin
     out = []
     for i in range(len(kind)):
+        vx = xs.iloc[i]
+        ro = ring_offsets.iloc[i]
         out.append(_bin.write_shape(dict(
             kind=int(kind.iloc[i]), x=x.iloc[i], y=y.iloc[i],
             radius=radius.iloc[i], minx=minx.iloc[i], maxx=maxx.iloc[i],
-            miny=miny.iloc[i], maxy=maxy.iloc[i])))
+            miny=miny.iloc[i], maxy=maxy.iloc[i],
+            xs=list(vx) if vx is not None else None,
+            ys=list(ys.iloc[i]) if vx is not None else None,
+            ring_offsets=list(ro) if ro is not None else None)))
     return pd.Series(out)
 
 

@@ -741,3 +741,37 @@ def format_wkt(kind: int, x, y, radius, minx, maxx, miny, maxy,
             rings.append(f"({seg})")
         return "POLYGON (" + ", ".join(rings) + ")"
     raise WktParseError(f"cannot format kind {kind}")
+
+
+def parse_latlon_batch(texts):
+    """'lat, lon' ingest — ParseUtils.ParseLatitudeLongitude
+    (Io/ParseUtils.cs:162-191 over ParsePointDouble :100-155):
+    comma-separated, surrounding spaces trimmed, exactly two values,
+    lat validated to [-90, 90] and lon to [-180, 180]. Returns
+    (records, errors) like parse_wkt_batch; lon becomes x, lat y."""
+    recs = [None] * len(texts)
+    errs = [None] * len(texts)
+    for i, t in enumerate(texts):
+        if t is None:
+            errs[i] = "null lat,lon string"
+            continue
+        parts = t.split(",")
+        if len(parts) != 2 or not parts[0].strip() or not parts[1].strip():
+            errs[i] = f"incompatible dimension (2) and values ({t})"
+            continue
+        try:
+            lat = float(parts[0].strip())
+            lon = float(parts[1].strip())
+        except ValueError as e:
+            errs[i] = str(e)
+            continue
+        if lat < -90.0 or lat > 90.0:
+            errs[i] = (f"Invalid latitude: latitudes are range -90 to 90: "
+                       f"provided lat: [{lat}]")
+            continue
+        if lon < -180.0 or lon > 180.0:
+            errs[i] = (f"Invalid longitude: longitudes are range -180 to "
+                       f"180: provided lon: [{lon}]")
+            continue
+        recs[i] = _mk_point(lon, lat)
+    return recs, errs

@@ -201,31 +201,47 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
     pattern: cheap pre-rank then exact, CartesianDistCalc.cs:36-49),
     row_number() <= k per query.
 
-    `prefilter_radius`: adaptive two-phase escalation — run first at
-    the small radius; a query whose k-th candidate lies within it is
-    provably identical to its radius_deg answer (any closer point is
-    also within the small radius), so only unresolved queries pay the
-    wide-cover join. Typically >10x fewer candidate pairs.
+    `prefilter_radius`: adaptive escalation — a float or an ascending
+    sequence of radii. Each rung runs the core join at that radius; a
+    query whose k-th candidate lies within the rung is provably
+    identical to its radius_deg answer (any closer point is also
+    within the rung), so only unresolved queries climb to the next,
+    wider cover. Typically >10x fewer candidate pairs than a single
+    wide pass, and the final rung runs over a tiny straggler set.
 
     Exact when every query has >= k neighbors within radius (else the
     tail is truncated — callers size the radius; the radius-free exact
     variant is operators/knn_rings.knn_ring_join).
     """
-    if prefilter_radius is not None and prefilter_radius < radius_deg:
+    if prefilter_radius is None:
+        return _knn_core(points, queries, k, radius_deg, plan,
+                         point_x, point_y, query_x, query_y, query_id,
+                         tie_break)
+    rungs = ([prefilter_radius] if isinstance(prefilter_radius, (int, float))
+             else list(prefilter_radius))
+    rungs = sorted(r for r in rungs if r < radius_deg)
+    parts = []
+    live = queries
+    for r in rungs:
         # localCheckpoint (eager): materialize once, truncate lineage;
         # blocks are released by the ContextCleaner when the plan is
         # GC'd — unlike persist(), nothing accumulates across calls in
         # a long-lived session.
-        near = _knn_core(points, queries, k, prefilter_radius, plan,
+        near = _knn_core(points, live, k, r, plan,
                          point_x, point_y, query_x, query_y, query_id,
                          tie_break).localCheckpoint()
         solved = (near.groupBy(query_id).agg(F.count("*").alias("__cnt"))
                       .where(F.col("__cnt") >= k).select(query_id))
-        resolved = near.join(F.broadcast(solved), query_id, "leftsemi")
-        rest_q = queries.join(F.broadcast(solved), query_id, "leftanti")
-        far = _knn_core(points, rest_q, k, radius_deg, plan,
-                        point_x, point_y, query_x, query_y, query_id,
-                        tie_break)
-        return resolved.unionByName(far)
-    return _knn_core(points, queries, k, radius_deg, plan,
-                     point_x, point_y, query_x, query_y, query_id, tie_break)
+        parts.append(near.join(F.broadcast(solved), query_id, "leftsemi"))
+        live = live.join(F.broadcast(solved), query_id, "leftanti")
+        if live.isEmpty():
+            live = None
+            break
+    if live is not None:
+        parts.append(_knn_core(points, live, k, radius_deg, plan,
+                               point_x, point_y, query_x, query_y, query_id,
+                               tie_break))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

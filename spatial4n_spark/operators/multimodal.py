@@ -127,6 +127,8 @@ def _decode_samples(content: bytes) -> tuple[int, np.ndarray, tuple]:
         if _HAVE_PIL:
             import io
             img = _PIL_Image.open(io.BytesIO(content))  # real path
+            # sample order is ALWAYS row-major (height, width, channels)
+            # raveled — resize_images reshapes with the same layout
             arr = np.asarray(img, dtype=np.float32) / 255.0
             return 0, arr.ravel(), (img.width, img.height,
                                     len(img.getbands()))
@@ -223,11 +225,14 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for ref, w, h, c, samples in zip(b["media_ref"], b["width"],
                                              b["height"], b["channels"],
                                              b["samples"]):
+                # (height, width, channels) row-major — the same layout
+                # the PIL decode path ravels, so real images resize
+                # with correct axes when the codec lights up
                 a = np.asarray(samples, dtype=np.float32).reshape(
-                    int(w), int(h), int(c))
-                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
-                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
-                arrs.append(a[np.ix_(xi, yi)].ravel())
+                    int(h), int(w), int(c))
+                hi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                wi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                arrs.append(a[np.ix_(hi, wi)].ravel())
                 refs.append(ref)
             yield pd.DataFrame({"media_ref": refs,
                                 "width": out_w, "height": out_h,

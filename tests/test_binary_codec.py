@@ -45,5 +45,7 @@ def test_errors():
         B.read_shape(bytes([9]) + b"\x00" * 16)
     with pytest.raises(WktParseError, match="trailing"):
         B.read_shape(B.write_shape(parse_shape("POINT (1 2)")) + b"\x00")
+    # geometry kinds now round-trip via the WKB branch (round 2); only a
+    # truly unknown kind is rejected
     with pytest.raises(WktParseError, match="unsupported shape kind"):
-        B.write_shape(parse_shape("LINESTRING (0 0, 1 1)"))
+        B.write_shape({"kind": 42})

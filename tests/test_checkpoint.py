@@ -124,3 +124,44 @@ def test_different_input_lineage_not_skipped(spark, bucketed_input, tmp_path):
                         N_BUCKETS)
     # same output dir, different claimed input => all buckets pending
     assert len(cp.pending_buckets(out, "/other/input", N_BUCKETS)) == N_BUCKETS
+
+
+def test_rerun_with_empty_bucket_replaces_stale_output(spark, bucketed_input,
+                                                       tmp_path):
+    """A re-run bucket that now produces 0 rows must not leave the old
+    run's bucket=K data behind (exact-resume contract: read_output
+    rows == sum of manifest output_rows)."""
+    out = str(tmp_path / "out")
+    cp.run_checkpointed(spark, bucketed_input, out, simple_transform,
+                        N_BUCKETS)
+    n_before = cp.read_output(spark, out).where(F.col("bucket") == 1).count()
+    assert n_before > 0
+
+    def empty_bucket1_transform(df):
+        return simple_transform(df).where(F.col("bucket") != 1)
+
+    # new transform name invalidates every manifest; bucket 1 now empty
+    summary = cp.run_checkpointed(spark, bucketed_input, out,
+                                  empty_bucket1_transform, N_BUCKETS)
+    assert summary["buckets_run"] == N_BUCKETS
+    assert cp.read_output(spark, out).where(F.col("bucket") == 1).count() == 0
+    ms = cp.load_manifests(out)
+    assert ms[1].output_rows == 0
+    total = sum(m.output_rows for m in ms.values())
+    assert cp.read_output(spark, out).count() == total
+
+
+def test_transform_and_bucket_count_in_validity(spark, bucketed_input,
+                                                tmp_path):
+    out = str(tmp_path / "out")
+    cp.run_checkpointed(spark, bucketed_input, out, simple_transform,
+                        N_BUCKETS)
+    # different transform name -> all pending
+    assert len(cp.pending_buckets(out, bucketed_input, N_BUCKETS,
+                                  transform_name="other_fn")) == N_BUCKETS
+    # different bucket count -> all pending
+    assert len(cp.pending_buckets(out, bucketed_input, N_BUCKETS + 1)) \
+        == N_BUCKETS + 1
+    # matching identity -> none pending
+    assert cp.pending_buckets(out, bucketed_input, N_BUCKETS,
+                              transform_name="simple_transform") == []

@@ -92,11 +92,12 @@ def test_resize_shape_and_values(decoded):
            decoded.where(F.col("modality") == "image").collect()}
     for r in rows:
         s = src[r.media_ref]
+        # samples are row-major (height, width, channels)
         a = np.asarray(s.samples, dtype=np.float32).reshape(
-            s.width, s.height, s.channels)
-        xi = (np.arange(4) * s.width // 4)
-        yi = (np.arange(4) * s.height // 4)
-        want = a[np.ix_(xi, yi)].ravel()
+            s.height, s.width, s.channels)
+        hi = (np.arange(4) * s.height // 4)
+        wi = (np.arange(4) * s.width // 4)
+        want = a[np.ix_(hi, wi)].ravel()
         assert np.array_equal(np.asarray(r.samples, dtype=np.float32), want)
 
 
