@@ -245,3 +245,65 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
+                     left_shape: str = "lshape", right_shape: str = "rshape",
+                     broadcast_right: bool = True,
+                     predicate: str = "intersects") -> DataFrame:
+    """Distributed polygon(shape) x polygon(shape) spatial join.
+
+    The two-layer join (admin boundaries x land parcels) — both sides
+    explode to their bbox cover cells, equi-join on the int64 cell
+    code, then the exact polygon-polygon kernel refines
+    (NtsGeometry.cs:283-314 semantics via st_relate_polygon_polygon).
+
+    Duplicate elimination is the REFERENCE-POINT rule, not a distinct:
+    a candidate pair meets once per shared cover cell, so the pair is
+    kept only in the cell that contains the top-left corner of the two
+    bboxes' intersection — a pure Column predicate, no post-join
+    dedup shuffle (the standard spatial-join trick: the reference
+    point lies in exactly one cell, and that cell is always a shared
+    cover cell). Assumes page-split (non-dateline-crossing) bboxes,
+    which is what the WKT parser produces for crossing polygons.
+
+    `predicate`: "intersects" (not disjoint), "contains" (left covers
+    right), "within" (left covered by right), or "all" (keep the
+    relation code column, no filter).
+    """
+    from .. import functions as SF
+    from ..kernels import relation as REL
+
+    ls, rs = F.col(left_shape), F.col(right_shape)
+    lc = (left.withColumn("__cells", SF.st_cover_codes_col(
+              ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
+              .withColumn("__cell", F.explode("__cells")).drop("__cells"))
+    rc = (right.withColumn("__cells", SF.st_cover_codes_col(
+              rs["minx"], rs["maxx"], rs["miny"], rs["maxy"], precision))
+              .withColumn("__cell", F.explode("__cells")).drop("__cells"))
+    if broadcast_right:
+        rc = F.broadcast(rc)
+    j = lc.join(rc, "__cell", "inner")
+
+    # bbox gate (cheap, codegen) — also defines the reference point
+    bbox_ok = ((ls["minx"] <= rs["maxx"]) & (ls["maxx"] >= rs["minx"])
+               & (ls["miny"] <= rs["maxy"]) & (ls["maxy"] >= rs["miny"]))
+    ref_x = F.greatest(ls["minx"], rs["minx"])
+    ref_y = F.greatest(ls["miny"], rs["miny"])
+    ref_cell = SF.st_cell_code_col(ref_y, ref_x, precision)
+    gated = j.where(bbox_ok & (F.col("__cell") == ref_cell)).drop("__cell")
+
+    rel = SF.st_relate_polygon_polygon(
+        ls["xs"], ls["ys"], ls["ring_offsets"],
+        rs["xs"], rs["ys"], rs["ring_offsets"])
+    if predicate == "all":
+        return gated.withColumn("relation", rel.cast("int"))
+    if predicate == "intersects":
+        cond = rel != REL.DISJOINT
+    elif predicate == "contains":
+        cond = rel == REL.CONTAINS
+    elif predicate == "within":
+        cond = rel == REL.WITHIN
+    else:
+        raise ValueError(predicate)
+    return gated.where(cond)
