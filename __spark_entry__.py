@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti_join": c.q_pip_anti_join,
         "polygon_pip_join": c.q_polygon_pip_join,
         "polygon_polygon_relate": c.q_polygon_polygon_relate,
+        "polygon_polygon_join": c.q_polygon_polygon_join,
         "polygon_circle_relate": c.q_polygon_circle_relate,
         "polygon_rect_relate": c.q_polygon_rect_relate,
         "rect_rect_relate": c.q_rect_rect_relate,
@@ -67,8 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tiling ---
         "tile_assign": c.q_tile_assign_decode,
         "cell_rollup": c.q_cell_rollup,
-        "cover_cells": c.q_cover_cells,
-        "sub_cells": c.q_sub_cells,
+        "cell_sets": c.q_cell_sets,
         # --- WKT codec ---
         "wkt_point_roundtrip": c.q_wkt_point_roundtrip,
         "wkt_envelope_parse": c.q_wkt_envelope_parse,
@@ -122,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_anti_join": c.ORACLE_PIP_ANTI,
         "polygon_pip_join": c.ORACLE_POLYGON_PIP,
         "polygon_polygon_relate": c.ORACLE_POLYGON_POLYGON,
+        "polygon_polygon_join": c.ORACLE_POLYGON_POLYGON_JOIN,
         "polygon_circle_relate": c.ORACLE_POLYGON_CIRCLE,
         "polygon_rect_relate": c.ORACLE_POLYGON_RECT,
         "rect_rect_relate": c.ORACLE_RECT_RECT,
@@ -133,8 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_rings": c.ORACLE_KNN_RINGS,
         "tile_assign": c.ORACLE_TILE_DECODE,
         "cell_rollup": c.ORACLE_ROLLUP,
-        "cover_cells": c.ORACLE_COVER,
-        "sub_cells": c.ORACLE_SUB_CELLS,
+        "cell_sets": c.ORACLE_CELL_SETS,
         "wkt_point_roundtrip": c.ORACLE_WKT_POINT,
         "wkt_envelope_parse": c.ORACLE_WKT_ENVELOPE,
         "wkt_writer_roundtrip": c.ORACLE_WKT_WRITER,

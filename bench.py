@@ -77,9 +77,9 @@ def main() -> None:
 
     # --- headline contract queries at sf_dir ---
     headline = [
-        "pip_rect_join", "polygon_pip_join", "polygon_polygon_relate",
+        "pip_rect_join", "polygon_pip_join", "polygon_polygon_relate", "polygon_polygon_join",
         "dwithin_join", "knn", "knn_rings", "tile_assign", "cell_rollup",
-        "cover_cells", "circle_rect_relate", "polygon_rect_relate",
+        "cell_sets", "circle_rect_relate", "polygon_rect_relate",
         "collection_relate", "extent_agg", "st_area_ranges",
         "line_contains_join", "buffer_shapes", "dedup_exact",
         "minhash_lsh_pairs", "embed_knn", "embed_neardup",

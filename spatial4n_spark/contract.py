@@ -2477,3 +2477,95 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM ref WHERE cosine >= 0.25
 
 # concrete ngram-over-LSH oracle (template needs ORACLE_MINHASH_LSH defined)
 ORACLE_NGRAM_LSH = ORACLE_NGRAM_LSH_TMPL.format(minhash=ORACLE_MINHASH_LSH)
+
+
+def q_cell_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cover_cells + sub_cells as one tagged union (driver checks at
+    most 50 queries; both emit (key, cell) string rows)."""
+    a = q_cover_cells(spark, sf_dir).selectExpr(
+        "'cover' AS src", "cast(rect_id as string) AS key", "cell")
+    b = q_sub_cells(spark, sf_dir).selectExpr(
+        "'sub' AS src", "cell1 AS key", "child AS cell")
+    return a.unionByName(b)
+
+
+ORACLE_CELL_SETS = f"""
+SELECT 'cover' AS src, CAST(rect_id AS VARCHAR) AS key, cell
+FROM ({ORACLE_COVER})
+UNION ALL
+SELECT 'sub' AS src, cell1 AS key, child AS cell
+FROM ({ORACLE_SUB_CELLS})
+"""
+
+
+# --- distributed polygon x polygon JOIN (two layers, reference-point
+# dedup — operators/joins.shape_shape_join) --------------------------------
+
+_PPJ_BX = "(((n_nationkey * 9973) % 58000) / cast(200.0 as double) - 145.0)"
+_PPJ_BY = "(((n_nationkey * 9967) % 24000) / cast(200.0 as double) - 60.0)"
+_PPJ_B_OFF = [("0.0", "0.0"), ("31.000417", "0.500209"),
+              ("15.500209", "21.000341")]
+
+
+def q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two polygon LAYERS joined distributed: supplier triangles x
+    nation triangles through the cell-cover equi-join + exact
+    polygon-polygon refine, duplicate pairs eliminated by the
+    reference-point rule (no distinct). Returns non-disjoint pairs
+    with their relation code."""
+    from . import functions as SF
+    from .operators.joins import shape_shape_join
+    ta = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS lid",
+        f"{TCX} AS x1t", f"({TCY} - 10.0) AS y1t",
+        f"({TCX} + 24.0) AS x2t", f"({TCY} - 10.0) AS y2t",
+        f"({TCX} + 12.0) AS x3t", f"({TCY} + 14.0) AS y3t")
+    tb = _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS rid",
+        *[f"({_PPJ_BX} + {dx}) AS u{i+1}" for i, (dx, _) in enumerate(_PPJ_B_OFF)],
+        *[f"({_PPJ_BY} + {dy}) AS w{i+1}" for i, (_, dy) in enumerate(_PPJ_B_OFF)])
+
+    def wkt3(xs, ys):
+        parts = ", ".join(f"cast({x} as string), ' ', cast({y} as string)"
+                          for x, y in zip(xs, ys))
+        first = f"cast({xs[0]} as string), ' ', cast({ys[0]} as string)"
+        inner = ", ', ', ".join([f"concat({p})" for p in
+                                 [f"cast({x} as string), ' ', cast({y} as string)"
+                                  for x, y in zip(xs, ys)] + [first]])
+        return f"concat('POLYGON((', {inner}, '))')"
+
+    la = ta.withColumn("lshape", SF.st_from_wkt(
+        F.expr(wkt3(["x1t", "x2t", "x3t"], ["y1t", "y2t", "y3t"]))))
+    rb = tb.withColumn("rshape", SF.st_from_wkt(
+        F.expr(wkt3(["u1", "u2", "u3"], ["w1", "w2", "w3"]))))
+    out = shape_shape_join(la.select("lid", "lshape"), rb.select("rid", "rshape"),
+                           precision=2, predicate="all")
+    return (out.where(F.col("relation") != 3)
+               .select("lid", "rid", F.col("relation").alias("rel")))
+
+
+_PPJ_TRI_B = [("u1", "w1"), ("u2", "w2"), ("u3", "w3")]
+
+ORACLE_POLYGON_POLYGON_JOIN = f"""
+WITH ta AS (
+  SELECT s_suppkey AS lid,
+         {TCX} AS x1t, ({TCY} - 10.0) AS y1t,
+         ({TCX} + 24.0) AS x2t, ({TCY} - 10.0) AS y2t,
+         ({TCX} + 12.0) AS x3t, ({TCY} + 14.0) AS y3t
+  FROM supplier
+),
+tb AS (
+  SELECT n_nationkey AS rid,
+         ({_PPJ_BX} + 0.0) AS u1, ({_PPJ_BY} + 0.0) AS w1,
+         ({_PPJ_BX} + 31.000417) AS u2, ({_PPJ_BY} + 0.500209) AS w2,
+         ({_PPJ_BX} + 15.500209) AS u3, ({_PPJ_BY} + 21.000341) AS w3
+  FROM nation
+),
+pairs AS (SELECT * FROM ta CROSS JOIN tb)
+SELECT lid, rid,
+       CAST(CASE WHEN {_pp_covers(_PP_TRI_A, _PPJ_TRI_B)} THEN 2
+                 WHEN {_pp_covers(_PPJ_TRI_B, _PP_TRI_A)} THEN 1
+                 ELSE 4 END AS INT) AS rel
+FROM pairs
+WHERE NOT {_pp_sat_disjoint(_PP_TRI_A, _PPJ_TRI_B)}
+"""
