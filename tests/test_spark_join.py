@@ -168,3 +168,34 @@ def test_distance_and_knn_join(spark, points_df):
         want_top = set(pdf["point_id"].to_numpy()[order[:k]].tolist())
         got_top = set(knn[knn["query_id"] == q["query_id"]]["point_id"].tolist())
         assert got_top == want_top
+
+
+def test_knn_ladder_equals_single_pass(spark):
+    """The multi-rung escalation ladder must return EXACTLY the
+    single-pass bounded-radius answer (rung-resolved queries are
+    provably identical; stragglers fall through)."""
+    import numpy as np
+
+    from spatial4n_spark.operators.joins import knn_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+    rng = np.random.default_rng(23)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-170, 170, 4000), rng.uniform(-80, 80, 4000)))],
+        ["point_id", "x", "y"])
+    qs = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-170, 170, 30), rng.uniform(-80, 80, 30)))],
+        ["query_id", "qx", "qy"])
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    kw = dict(k=3, radius_deg=60.0, plan=plan, query_id="query_id",
+              tie_break="point_id")
+    direct = {(r.query_id, r.point_id, r.knn_rank) for r in
+              knn_join(pts, qs, **kw).collect()}
+    ladder = {(r.query_id, r.point_id, r.knn_rank) for r in
+              knn_join(pts, qs, prefilter_radius=(4.0, 15.0), **kw).collect()}
+    single_rung = {(r.query_id, r.point_id, r.knn_rank) for r in
+                   knn_join(pts, qs, prefilter_radius=8.0, **kw).collect()}
+    assert ladder == direct
+    assert single_rung == direct
