@@ -758,3 +758,27 @@ def st_from_binary(blobs: pd.Series) -> pd.DataFrame:
         except Exception as e:  # noqa: BLE001
             rows.append(dict(_EMPTY_ROW, error=str(e)[:200]))
     return pd.DataFrame(rows)
+
+
+def register_sql_functions(spark, prefix: str = "") -> list:
+    """Register the Arrow-batched st_* UDFs for Spark SQL text queries
+    (`spark.udf.register` surface — the SURVEY §2.6 extensibility row).
+    Column-expression builders (st_cell_code_col, st_cover_codes_col)
+    are pure Catalyst expressions and need no registration. Returns the
+    registered names."""
+    udfs = {
+        "st_from_wkt": st_from_wkt,
+        "st_from_latlon": st_from_latlon,
+        "st_from_binary": st_from_binary,
+        "st_to_binary": st_to_binary,
+        "st_buffer": st_buffer,
+        "st_relate_polygon_polygon": st_relate_polygon_polygon,
+        "st_relate_polygon_rect": st_relate_polygon_rect,
+        "st_relate_polygon_circle": st_relate_polygon_circle,
+    }
+    names = []
+    for name, fn in udfs.items():
+        full = prefix + name
+        spark.udf.register(full, fn)
+        names.append(full)
+    return names

@@ -348,6 +348,28 @@ def _points_list(st: _State) -> list:
     return pts
 
 
+# -- extensibility registry (ParseShapeByType analog, -----------------------
+# Io/WktShapeParser.cs:177-218; WktCustomShapeParserTest.cs:84-113):
+# a custom parser is consulted BEFORE the built-in grammar and may
+# return None to fall through. For distributed parses the registering
+# module must be shipped to workers (--py-files), exactly like any
+# kernel extension.
+CUSTOM_SHAPE_PARSERS: dict = {}
+
+
+def register_shape_parser(word: str, fn) -> None:
+    """Register `fn(state, geo) -> record | None` for shape keyword
+    `word` (case-insensitive). Note: the vectorized POINT fast path
+    bypasses the tokenizer, so overriding "POINT" only affects strings
+    the fast-path regex rejects — mirror of the reference, where the
+    base grammar also runs first (ParseShapeByType calls base)."""
+    CUSTOM_SHAPE_PARSERS[word.upper()] = fn
+
+
+def unregister_shape_parser(word: str) -> None:
+    CUSTOM_SHAPE_PARSERS.pop(word.upper(), None)
+
+
 def parse_shape(wkt: str, geo: bool = True) -> dict:
     """Parse one WKT string to a shape record. Raises WktParseError."""
     st = _State(wkt)
@@ -359,6 +381,11 @@ def parse_shape(wkt: str, geo: bool = True) -> dict:
 
 def _parse_shape(st: _State, geo: bool) -> dict:
     word = st.next().upper()
+    custom = CUSTOM_SHAPE_PARSERS.get(word)
+    if custom is not None:
+        rec = custom(st, geo)
+        if rec is not None:
+            return rec
     if word == "POINT":
         _maybe_dims(st)
         if _maybe_empty(st):
