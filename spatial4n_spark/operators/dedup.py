@@ -184,15 +184,11 @@ def embedding_neardup_banded(embeddings: DataFrame, id_col: str = "vec_id",
     1 - (1 - p^P)^T with p = 1 - acos(c)/pi. At 1e9 rows: P=16-24,
     T=4-8; bucket join stays a shuffle on (table, bucket) keys.
     """
-    from .similarity import cosine_expr, hyperplane_bucket_expr
-    tagged = embeddings.select(
-        F.col(id_col), F.col(emb),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     F.expr(hyperplane_bucket_expr(emb, n_planes, t * n_planes))
-                      .alias("bkt"))
-            for t in range(n_tables)])).alias("e")
-    ).select(id_col, emb, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+    from .similarity import cosine_expr, make_hyperplane_tables_udf
+    bk = make_hyperplane_tables_udf(n_planes, n_tables)
+    tagged = (embeddings
+              .select(F.col(id_col), bk(F.col(emb)).alias("__bkts"))
+              .select(id_col, F.posexplode("__bkts").alias("tbl", "bkt")))
     left = tagged.select(F.col(id_col).alias("id_a"), "tbl", "bkt")
     right = tagged.select(F.col(id_col).alias("id_b"), "tbl", "bkt")
     # dedupe candidate ids BEFORE rejoining vectors: the distinct runs
