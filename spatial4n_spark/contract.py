@@ -831,10 +831,12 @@ QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 5
 
 def q_embed_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH hyperplane bucket assignment (the ANN partitioner)."""
-    from .operators.similarity import hyperplane_bucket_expr
+    from .operators.similarity import make_hyperplane_tables_udf
     emb = _load(spark, sf_dir, "embeddings")
-    return emb.withColumn("bucket", F.expr(hyperplane_bucket_expr("embedding", 8))) \
-              .select("vec_id", "bucket")
+    bk = make_hyperplane_tables_udf(8, 1)
+    return emb.select(
+        "vec_id",
+        F.element_at(bk(F.col("embedding")), 1).cast("int").alias("bucket"))
 
 
 def _ddb_bucket(n_planes: int = 8, offset: int = 0) -> str:

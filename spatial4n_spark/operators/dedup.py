@@ -132,8 +132,9 @@ def embedding_neardup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     """Embedding-cosine near-duplicate pairs: LSH bucket join (candidate
     generation bounded to same-bucket pairs, never all-pairs) -> exact
     cosine refine >= threshold. Returns (id_a < id_b, cosine)."""
-    from .similarity import cosine_expr, hyperplane_bucket_expr
-    b = embeddings.withColumn("__bkt", F.expr(hyperplane_bucket_expr(emb, n_planes)))
+    from .similarity import cosine_expr, make_hyperplane_tables_udf
+    bk = make_hyperplane_tables_udf(n_planes, 1)
+    b = embeddings.withColumn("__bkt", F.element_at(bk(F.col(emb)), 1))
     left = b.select(F.col(id_col).alias("id_a"),
                     F.col(emb).alias("__ea"), "__bkt")
     right = b.select(F.col(id_col).alias("id_b"),
