@@ -250,7 +250,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
 def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
                      left_shape: str = "lshape", right_shape: str = "rshape",
                      broadcast_right: bool = True,
-                     predicate: str = "intersects") -> DataFrame:
+                     predicate: str = "intersects",
+                     salt: int | None = None) -> DataFrame:
     """Distributed polygon(shape) x polygon(shape) spatial join.
 
     The two-layer join (admin boundaries x land parcels) — both sides
@@ -270,6 +271,12 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     `predicate`: "intersects" (not disjoint), "contains" (left covers
     right), "within" (left covered by right), or "all" (keep the
     relation code column, no filter).
+
+    `salt` (shuffle path only): hot-cell skew lever for two HUGE
+    layers — the left side picks a salt bucket by row hash, the right
+    side replicates across all buckets, and the equi-join key becomes
+    (cell, salt), splitting a hot cell's probe rows across `salt`
+    tasks. AQE skew-join (session.py) is the runtime backstop.
     """
     from .. import functions as SF
     from ..kernels import relation as REL
@@ -283,7 +290,16 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
               .withColumn("__cell", F.explode("__cells")).drop("__cells"))
     if broadcast_right:
         rc = F.broadcast(rc)
-    j = lc.join(rc, "__cell", "inner")
+        j = lc.join(rc, "__cell", "inner")
+    elif salt:
+        lc = lc.withColumn("__salt", F.pmod(
+            F.hash(*[lc[c] for c in left.columns if c != left_shape]),
+            F.lit(salt)))
+        rc = rc.withColumn("__salt", F.explode(
+            F.array(*[F.lit(i) for i in range(salt)])))
+        j = lc.join(rc, ["__cell", "__salt"], "inner").drop("__salt")
+    else:
+        j = lc.join(rc, "__cell", "inner")
 
     # bbox gate (cheap, codegen) — also defines the reference point
     bbox_ok = ((ls["minx"] <= rs["maxx"]) & (ls["maxx"] >= rs["minx"])

@@ -71,3 +71,19 @@ def test_reference_point_dedup_no_distinct(spark, layers):
     # and each surviving pair is unique without any dedup operator
     rows = out.select("lid", "rid").collect()
     assert len(rows) == len({(r.lid, r.rid) for r in rows})
+
+
+def test_salted_shuffle_path_set_equal_to_broadcast(spark, layers):
+    left, right, _, _ = layers
+    base = {(r.lid, r.rid, r.relation) for r in
+            shape_shape_join(left, right, precision=2, predicate="all")
+            .collect()}
+    salted = {(r.lid, r.rid, r.relation) for r in
+              shape_shape_join(left, right, precision=2, predicate="all",
+                               broadcast_right=False, salt=4).collect()}
+    plain_shuffle = {(r.lid, r.rid, r.relation) for r in
+                     shape_shape_join(left, right, precision=2,
+                                      predicate="all",
+                                      broadcast_right=False).collect()}
+    assert salted == base
+    assert plain_shuffle == base
