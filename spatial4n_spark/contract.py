@@ -870,7 +870,7 @@ WITH {_CTE_N2RECTS},
 px AS (
   SELECT t AS tile, i, j,
          (t % 16) * 22.5 - 180.0 + (i + 0.5) * (22.5 / 16) AS px_lon,
-         CAST(t / 16 AS BIGINT) * 45.0 - 90.0 + (j + 0.5) * (45.0 / 16) AS px_lat,
+         (t // 16) * 45.0 - 90.0 + (j + 0.5) * (45.0 / 16) AS px_lat,
          (t * 31 + i * 7 + j * 13) % 255 AS value
   FROM unnest(range(0, 64)) AS tt(t),
        unnest(range(0, 16)) AS ii(i),
