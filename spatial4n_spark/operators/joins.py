@@ -282,12 +282,27 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     from ..kernels import relation as REL
 
     ls, rs = F.col(left_shape), F.col(right_shape)
-    lc = (left.withColumn("__cells", SF.st_cover_codes_col(
-              ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
+    # Per-side min-corner axis indices are PRECOMPUTED in this projection
+    # (whole-stage codegen + subexpression elimination apply here). The
+    # post-join reference-cell filter then rebuilds the cell code from
+    # these four plain int columns — keeping the filter condition small
+    # enough to compile: filters get no subexpression elimination, and
+    # the Morton spread's five self-referencing steps would otherwise
+    # duplicate a greatest-of-struct-fields coord tree 2^5 times past
+    # Janino's 64 KB method limit (observed as an interpreted-fallback
+    # ERROR in BENCH_r02). axis_idx is monotone in the coordinate, so
+    # idx(greatest(lminx, rminx)) == greatest(lidx, ridx) and the
+    # reference-point dedup semantics are unchanged.
+    lc = (left.withColumn("__lli0", SF.st_axis_idx_col(ls["minx"], "lon", precision))
+              .withColumn("__lti0", SF.st_axis_idx_col(ls["miny"], "lat", precision))
+              .withColumn("__cells", SF.st_cover_codes_col(
+                  ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
               .withColumn("__cell", F.explode("__cells")).drop("__cells"))
-    rc = (right.withColumn("__cells", SF.st_cover_codes_col(
-              rs["minx"], rs["maxx"], rs["miny"], rs["maxy"], precision))
-              .withColumn("__cell", F.explode("__cells")).drop("__cells"))
+    rc = (right.withColumn("__rli0", SF.st_axis_idx_col(rs["minx"], "lon", precision))
+               .withColumn("__rti0", SF.st_axis_idx_col(rs["miny"], "lat", precision))
+               .withColumn("__cells", SF.st_cover_codes_col(
+                   rs["minx"], rs["maxx"], rs["miny"], rs["maxy"], precision))
+               .withColumn("__cell", F.explode("__cells")).drop("__cells"))
     if broadcast_right:
         rc = F.broadcast(rc)
         j = lc.join(rc, "__cell", "inner")
@@ -301,13 +316,16 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     else:
         j = lc.join(rc, "__cell", "inner")
 
-    # bbox gate (cheap, codegen) — also defines the reference point
+    # bbox gate (cheap, codegen) — also defines the reference point:
+    # the cell containing (greatest(minx), greatest(miny)) of the two
+    # bboxes, rebuilt from the precomputed per-side axis indices.
     bbox_ok = ((ls["minx"] <= rs["maxx"]) & (ls["maxx"] >= rs["minx"])
                & (ls["miny"] <= rs["maxy"]) & (ls["maxy"] >= rs["miny"]))
-    ref_x = F.greatest(ls["minx"], rs["minx"])
-    ref_y = F.greatest(ls["miny"], rs["miny"])
-    ref_cell = SF.st_cell_code_col(ref_y, ref_x, precision)
-    gated = j.where(bbox_ok & (F.col("__cell") == ref_cell)).drop("__cell")
+    ref_cell = SF.st_morton_col(F.greatest(F.col("__lli0"), F.col("__rli0")),
+                                F.greatest(F.col("__lti0"), F.col("__rti0")),
+                                precision)
+    gated = (j.where(bbox_ok & (F.col("__cell") == ref_cell))
+              .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0"))
 
     rel = SF.st_relate_polygon_polygon(
         ls["xs"], ls["ys"], ls["ring_offsets"],
