@@ -25,6 +25,10 @@ class SpatialEngineContext:
     # (minx, maxx, miny, maxy); geo default = world (SpatialContext.cs:107-110)
     world_bounds: tuple = (-180.0, 180.0, -90.0, 90.0)
     norm_wrap_longitude: bool = False
+    # NtsSpatialContextFactory.cs:73-75 analogs (polygon parsing)
+    dateline_rule: str = "width180"     # none | width180 | ccwRect
+    validation_rule: str = "error"      # none | error | repairConvexHull
+    #                                   # | repairBuffer0
 
     # ---- factory (SpatialContextFactory.MakeSpatialContext analog) ----
     @classmethod
@@ -48,7 +52,30 @@ class SpatialEngineContext:
                                              rec["miny"], rec["maxy"]))
         if str(args.get("normWrapLongitude", "")).lower() == "true":
             ctx = replace(ctx, norm_wrap_longitude=True)
+        dl = args.get("datelineRule")
+        if dl is not None:
+            from .kernels.wkt import DATELINE_RULES
+            match = [r for r in DATELINE_RULES
+                     if r.lower() == str(dl).lower()]
+            if not match:
+                raise ValueError(f"Unknown dateline rule: {dl}")
+            ctx = replace(ctx, dateline_rule=match[0])
+        vr = args.get("validationRule")
+        if vr is not None:
+            from .kernels.wkt import VALIDATION_RULES
+            match = [r for r in VALIDATION_RULES
+                     if r.lower() == str(vr).lower()]
+            if not match:
+                raise ValueError(f"Unknown validation rule: {vr}")
+            ctx = replace(ctx, validation_rule=match[0])
         return ctx
+
+    # ---- WKT parse under this context's rules ----
+    def parse_wkt(self, wkt: str) -> dict:
+        from .kernels.wkt import parse_shape
+        return parse_shape(wkt, geo=self.geo,
+                           dateline_rule=self.dateline_rule,
+                           validation_rule=self.validation_rule)
 
     # ---- normalization / validation (SpatialContext.cs:172-207) ----
     def norm_x(self, x):

@@ -2170,32 +2170,59 @@ QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 5
 
 
 def q_wkt_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Malformed-WKT handling: kernels never throw — bad rows carry an
-    error and kind=EMPTY (engine no-throw rule; reference raises
-    ParseException/InvalidShapeException at the same inputs)."""
+    """Malformed-WKT handling + polygon validation/repair rules:
+    kernels never throw — bad rows carry an error and kind=EMPTY
+    (reference raises ParseException/InvalidShapeException at the same
+    inputs, NtsWktShapeParserTest.TestWrapTopologyException); the
+    self-intersecting case is additionally re-parsed under
+    repairConvexHull/repairBuffer0 (NtsWktShapeParser.cs:266-297) and
+    the rect case exercises MakeRectFromPoly demotion (:125-158)."""
     from . import functions as SF
     src = _load(spark, sf_dir, "orders").selectExpr(
         "o_orderkey",
-        f"""CASE o_orderkey % 5
+        f"""CASE o_orderkey % 8
             WHEN 0 THEN concat('POINT (', cast({_OLON} as string), ' 10)')
             WHEN 1 THEN 'POINT (1 2'
             WHEN 2 THEN 'FRISBEE (1 2)'
             WHEN 3 THEN 'ENVELOPE (10, 20, 1, 5)'
-            ELSE 'ENVELOPE (10, 20, 5, 1)'
+            WHEN 4 THEN 'ENVELOPE (10, 20, 5, 1)'
+            WHEN 5 THEN 'POLYGON((0 0, 10 0, 10 20, 5 -5, 0 20, 0 0))'
+            WHEN 6 THEN 'POLYGON((0 5, 10 5, 10 20, 0 20, 0 5))'
+            ELSE 'POLYGON((0 0, 10 0, 10 20))'
             END AS wkt""")
-    parsed = src.withColumn("s", SF.st_from_wkt(F.col("wkt")))
-    s = F.col("s")
+    parsed = (src
+              .withColumn("s", SF.st_from_wkt(F.col("wkt")))
+              .withColumn("sh", SF.st_from_wkt(
+                  F.col("wkt"), validation_rule="repairConvexHull"))
+              .withColumn("sb", SF.st_from_wkt(
+                  F.col("wkt"), validation_rule="repairBuffer0")))
+    s, sh, sb = F.col("s"), F.col("sh"), F.col("sb")
+    five = F.col("o_orderkey") % 8 == 5
     return parsed.select(
         "o_orderkey",
         s["error"].isNull().alias("ok"),
-        s["kind"].cast("int").alias("kind"))
+        s["kind"].cast("int").alias("kind"),
+        F.when(five, sh["kind"].cast("int")).alias("hull_kind"),
+        F.when(five, F.size(sh["xs"])).alias("hull_nv"),
+        F.when(five, sb["kind"].cast("int")).alias("b0_kind"),
+        F.when(five, F.size(sb["xs"])).alias("b0_nv"),
+        F.when(five, F.size(sb["ring_offsets"]) - 1).alias("b0_nrings"))
 
 
+# constants for case 5 derive from the fixed bow-tie: hull = 5-vertex
+# pentagon (+closure), buffer0 = 3 planarized lobes of 4 coords each
 ORACLE_WKT_ERRORS = """
 SELECT o_orderkey,
-       CASE o_orderkey % 5 WHEN 1 THEN false WHEN 2 THEN false
-            WHEN 3 THEN false ELSE true END AS ok,
-       CASE o_orderkey % 5 WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS kind
+       CASE o_orderkey % 8 WHEN 1 THEN false WHEN 2 THEN false
+            WHEN 3 THEN false WHEN 5 THEN false WHEN 7 THEN false
+            ELSE true END AS ok,
+       CASE o_orderkey % 8 WHEN 0 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 2
+            ELSE 0 END AS kind,
+       CASE WHEN o_orderkey % 8 = 5 THEN 7 END AS hull_kind,
+       CASE WHEN o_orderkey % 8 = 5 THEN 6 END AS hull_nv,
+       CASE WHEN o_orderkey % 8 = 5 THEN 8 END AS b0_kind,
+       CASE WHEN o_orderkey % 8 = 5 THEN 12 END AS b0_nv,
+       CASE WHEN o_orderkey % 8 = 5 THEN 3 END AS b0_nrings
 FROM orders
 """
 

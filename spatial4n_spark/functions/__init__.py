@@ -50,14 +50,42 @@ _EMPTY_ROW = dict(kind=0, x=None, y=None, radius=None, minx=None, maxx=None,
 
 
 @pandas_udf(SHAPE_SCHEMA)
-def st_from_wkt(texts: pd.Series) -> pd.DataFrame:
+def _st_from_wkt_default(texts: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(_wkt.parse_wkt_columns(texts))
+
+
+_WKT_UDF_CACHE = {("width180", "error", True): _st_from_wkt_default}
+
+
+def st_from_wkt(texts, dateline_rule: str = "width180",
+                validation_rule: str = "error", geo: bool = True):
     """WKT -> shape struct (+ error column instead of exceptions).
 
     Parser semantics: Io/WktShapeParser.cs grammar incl. ENVELOPE arg
     order and BUFFER extension; the POINT fast path is one vectorized
     regex pass and lands straight in Arrow-bound columns.
+
+    dateline_rule in {none, width180, ccwRect} and validation_rule in
+    {none, error, repairConvexHull, repairBuffer0} mirror
+    NtsSpatialContextFactory.datelineRule/validationRule (defaults
+    Width180/Error, NtsSpatialContextFactory.cs:73-75); configured
+    variants are cached pandas UDFs with the rules bound in the closure.
     """
-    return pd.DataFrame(_wkt.parse_wkt_columns(texts))
+    key = (dateline_rule, validation_rule, geo)
+    udf = _WKT_UDF_CACHE.get(key)
+    if udf is None:
+        if dateline_rule not in _wkt.DATELINE_RULES:
+            raise ValueError(f"unknown dateline rule {dateline_rule!r}")
+        if validation_rule not in _wkt.VALIDATION_RULES:
+            raise ValueError(f"unknown validation rule {validation_rule!r}")
+
+        @pandas_udf(SHAPE_SCHEMA)
+        def _configured(t: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(_wkt.parse_wkt_columns(
+                t, geo, dateline_rule, validation_rule))
+
+        udf = _WKT_UDF_CACHE[key] = _configured
+    return udf(texts)
 
 
 @pandas_udf(StringType())
@@ -785,7 +813,7 @@ def register_sql_functions(spark, prefix: str = "") -> list:
     are pure Catalyst expressions and need no registration. Returns the
     registered names."""
     udfs = {
-        "st_from_wkt": st_from_wkt,
+        "st_from_wkt": _st_from_wkt_default,
         "st_from_latlon": st_from_latlon,
         "st_from_binary": st_from_binary,
         "st_to_binary": st_to_binary,

@@ -216,8 +216,243 @@ def _cut_pages_at_180(shifted_rings) -> dict:
     return d
 
 
-def _mk_polygon(rings, geo=True) -> dict:
-    """Polygon with holes; dateline handling in two forms:
+# ---------------------------------------------------------------------------
+# polygon validation / repair (NtsWktShapeParser.cs:266-297, ValidationRule
+# enum :331-368) and rect demotion (ParsePolygonShape :125-133,
+# MakeRectFromPoly :135-158 incl. DatelineRule enum :304-325)
+# ---------------------------------------------------------------------------
+
+DATELINE_RULES = ("none", "width180", "ccwRect")
+VALIDATION_RULES = ("none", "error", "repairConvexHull", "repairBuffer0")
+
+
+def _signed_area2(ring) -> float:
+    """Twice the shoelace signed area of a (closed or open) ring;
+    positive = counter-clockwise."""
+    pts = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else ring
+    a = 0.0
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        a += x1 * y2 - x2 * y1
+    return a
+
+
+def _is_rect_ring(ring) -> bool:
+    """JTS Polygon.IsRectangle analog on one closed ring: 5 points,
+    closed, axis-parallel edges, the 4 distinct corners are exactly the
+    envelope corners."""
+    if len(ring) != 5 or ring[0] != ring[-1]:
+        return False
+    pts = ring[:4]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    minx, maxx, miny, maxy = min(xs), max(xs), min(ys), max(ys)
+    if minx == maxx or miny == maxy:
+        return False
+    corners = {(minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy)}
+    if set(pts) != corners:
+        return False
+    for i in range(4):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if x1 != x2 and y1 != y2:  # every edge axis-parallel
+            return False
+    return True
+
+
+def _rect_from_poly(ring, geo: bool, dateline_rule: str) -> dict:
+    """MakeRectFromPoly (NtsWktShapeParser.cs:135-158): envelope of a
+    rectangular ring; dateline crossing decided by the DatelineRule —
+    width180: env wider than 180 => crossing (swap min/max);
+    ccwRect: clockwise point order => crossing (OGC SFS 1.2.0 6.1.11.1);
+    none: never crossing."""
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    minx, maxx, miny, maxy = min(xs), max(xs), min(ys), max(ys)
+    crosses = False
+    if geo and dateline_rule != "none":
+        if dateline_rule == "ccwRect":
+            crosses = _signed_area2(ring) < 0.0  # clockwise
+        else:  # width180
+            crosses = (maxx - minx) > 180.0
+    if crosses:
+        return _mk_rect(maxx, minx, miny, maxy, geo)
+    return _mk_rect(minx, maxx, miny, maxy, geo)
+
+
+def _segment_intersections(ring):
+    """All intersections between non-adjacent segments of one closed
+    ring. Returns (invalid_reason | None, per_seg) where per_seg[i] is a
+    list of (t, (ix, iy)) proper-interior intersection points on segment
+    i (each point computed ONCE per pair, so both segments carry the
+    bit-identical coordinates)."""
+    pts = ring[:-1]
+    n = len(pts)
+    per_seg: list = [[] for _ in range(n)]
+    if n < 3:
+        return "too few points", per_seg
+    ax = np.array([p[0] for p in pts]); ay = np.array([p[1] for p in pts])
+    bx = np.roll(ax, -1); by = np.roll(ay, -1)
+    # repeated consecutive vertices
+    if ((ax == bx) & (ay == by)).any():
+        return "repeated point", per_seg
+    reason = None
+    for i in range(n - 2):
+        # candidate partners j > i+1 (and exclude the wrap pair (0, n-1))
+        j0 = i + 2
+        j1 = n - 1 if i == 0 else n
+        if j0 >= j1:
+            continue
+        j = np.arange(j0, j1)
+        r_x, r_y = bx[i] - ax[i], by[i] - ay[i]
+        s_x, s_y = bx[j] - ax[j], by[j] - ay[j]
+        qp_x, qp_y = ax[j] - ax[i], ay[j] - ay[i]
+        denom = r_x * s_y - r_y * s_x
+        t_num = qp_x * s_y - qp_y * s_x
+        u_num = qp_x * r_y - qp_y * r_x
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = t_num / denom
+            u = u_num / denom
+        proper = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        # endpoint touches / collinear overlap between non-adjacent
+        # segments make the ring non-simple => invalid (JTS LinearRing)
+        touch = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1) \
+            & ~proper
+        if touch.any():
+            reason = reason or "ring self-intersection (vertex touch)"
+        collinear = (denom == 0) & (t_num == 0)
+        if collinear.any():
+            # overlapping collinear segments: compare 1-D extents on the
+            # segment's dominant axis
+            for jj in j[collinear]:
+                if r_x != 0:
+                    lo, hi = min(ax[i], bx[i]), max(ax[i], bx[i])
+                    lo2, hi2 = min(ax[jj], bx[jj]), max(ax[jj], bx[jj])
+                else:
+                    lo, hi = min(ay[i], by[i]), max(ay[i], by[i])
+                    lo2, hi2 = min(ay[jj], by[jj]), max(ay[jj], by[jj])
+                if max(lo, lo2) <= min(hi, hi2):
+                    reason = reason or "collinear segment overlap"
+        if proper.any():
+            reason = reason or "ring self-intersection"
+            for k, jj in zip(np.nonzero(proper)[0], j[proper]):
+                tt = float(t[k])
+                uu = float(u[k])
+                ixy = (float(ax[i] + tt * r_x), float(ay[i] + tt * r_y))
+                per_seg[i].append((tt, ixy))
+                per_seg[int(jj)].append((uu, ixy))
+    for lst in per_seg:
+        lst.sort(key=lambda e: e[0])
+    return reason, per_seg
+
+
+def _ring_invalid_reason(ring):
+    if len(ring) < 4 or ring[0] != ring[-1]:
+        return "unclosed ring"
+    reason, _ = _segment_intersections(ring)
+    return reason
+
+
+def _polygon_invalid_reason(rings):
+    """JTS IsValid subset: per-ring simplicity + holes inside the shell.
+    (Hole/hole nesting is not checked — documented scope.)"""
+    for ring in rings:
+        r = _ring_invalid_reason(ring)
+        if r:
+            return r
+    if len(rings) > 1:
+        from .pip import points_in_polygon
+        shell = rings[0]
+        sx = np.array([p[0] for p in shell])
+        sy = np.array([p[1] for p in shell])
+        ro = np.array([0, len(shell)])
+        for hole in rings[1:]:
+            hx = np.array([p[0] for p in hole])
+            hy = np.array([p[1] for p in hole])
+            if not points_in_polygon(hx, hy, sx, sy, ro).all():
+                return "hole outside shell"
+    return None
+
+
+def _convex_hull_ring(rings):
+    """Monotone-chain convex hull of all ring vertices -> closed CCW
+    ring (ValidationRule.RepairConvexHull, Geometry.ConvexHull analog)."""
+    pts = sorted({(p[0], p[1]) for ring in rings for p in ring})
+    if len(pts) < 3:
+        raise WktParseError("convex hull repair: degenerate polygon")
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                px, py = out[-1]
+                if (px - ox) * (p[1] - oy) - (py - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(list(reversed(pts)))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        raise WktParseError("convex hull repair: degenerate polygon")
+    return [list(p) for p in hull] + [list(hull[0])]
+
+
+def _split_ring_loops(ring):
+    """Planarize one closed self-intersecting ring into simple closed
+    sub-rings (the ValidationRule.RepairBuffer0 analog): node the ring
+    at its self-intersection points, then extract a loop every time the
+    walk revisits a point. Deterministic; unlike JTS Buffer(0) it keeps
+    EVERY nonzero-area lobe (JTS may drop one of a bow-tie's lobes —
+    the enum's own docs call that behavior undesirable)."""
+    reason, per_seg = _segment_intersections(ring)
+    pts = ring[:-1]
+    n = len(pts)
+    walk = []
+    for i in range(n):
+        walk.append((float(pts[i][0]), float(pts[i][1])))
+        for _, ixy in per_seg[i]:
+            walk.append(ixy)
+    loops = []
+    stack: list = []
+    index: dict = {}
+    for p in walk + [walk[0]]:
+        if p in index:
+            k = index[p]
+            loop = stack[k:] + [p]
+            if len(loop) >= 4 and abs(_signed_area2(loop)) > 0.0:
+                loops.append([list(q) for q in loop])
+            for q in stack[k + 1:]:
+                index.pop(q, None)
+            stack = stack[:k + 1]
+        else:
+            index[p] = len(stack)
+            stack.append(p)
+    return loops
+
+
+def _buffer0_record(rings, geo: bool, dateline_rule: str) -> dict:
+    parts = []
+    for ring in rings:
+        parts.extend(_split_ring_loops(ring))
+    if not parts:
+        raise WktParseError("buffer0 repair: no area")
+    members = [_mk_polygon([p], geo, dateline_rule, "none") for p in parts]
+    if len(members) == 1:
+        return members[0]
+    return _merge_polygon_members(members)
+
+
+def _mk_polygon(rings, geo=True, dateline_rule="width180",
+                validation_rule="error") -> dict:
+    """Polygon with holes; validation/repair per ValidationRule, then
+    dateline handling in two forms:
 
     1. Width180 rule (NtsWktShapeParser.DatelineRule.Width180,
        :304-325): a shell wider than 180 within [-180,180] is assumed
@@ -228,7 +463,28 @@ def _mk_polygon(rings, geo=True) -> dict:
        unwrapDateline/cutUnwrapped, :414-527).
     Pages become a multipolygon whose bbox is the smart (narrow)
     dateline-crossing bbox; downstream even-odd PIP unions the pages.
+
+    Ring closure is enforced UNconditionally (the reference's
+    LinearRing construction throws before validation ever runs —
+    NtsWktShapeParserTest.TestWrapTopologyException's first case).
+    Under dateline_rule="none" no dateline processing happens at all;
+    "ccwRect" differs from "width180" only for rectangular rings
+    (handled by _rect_from_poly before this function).
     """
+    for ring in rings:
+        if len(ring) < 4 or ring[0] != ring[-1]:
+            raise WktParseError("unclosed ring")
+    if validation_rule != "none":
+        reason = _polygon_invalid_reason(rings)
+        if reason is not None:
+            if validation_rule == "repairConvexHull":
+                return _mk_polygon([_convex_hull_ring(rings)], geo,
+                                   dateline_rule, "none")
+            if validation_rule == "repairBuffer0":
+                return _buffer0_record(rings, geo, dateline_rule)
+            raise WktParseError(f"invalid polygon: {reason}")
+    if dateline_rule == "none":
+        geo = False  # skip all dateline processing below
     shell = rings[0]
     xs = [p[0] for p in shell]
     raw_w = max(xs) - min(xs)
@@ -370,16 +626,28 @@ def unregister_shape_parser(word: str) -> None:
     CUSTOM_SHAPE_PARSERS.pop(word.upper(), None)
 
 
-def parse_shape(wkt: str, geo: bool = True) -> dict:
-    """Parse one WKT string to a shape record. Raises WktParseError."""
+def parse_shape(wkt: str, geo: bool = True,
+                dateline_rule: str = "width180",
+                validation_rule: str = "error") -> dict:
+    """Parse one WKT string to a shape record. Raises WktParseError.
+
+    dateline_rule / validation_rule mirror NtsSpatialContextFactory's
+    datelineRule (default Width180) and validationRule (default Error)
+    — NtsSpatialContextFactory.cs:73-75.
+    """
+    if dateline_rule not in DATELINE_RULES:
+        raise ValueError(f"unknown dateline rule {dateline_rule!r}")
+    if validation_rule not in VALIDATION_RULES:
+        raise ValueError(f"unknown validation rule {validation_rule!r}")
     st = _State(wkt)
-    shape = _parse_shape(st, geo)
+    shape = _parse_shape(st, geo, dateline_rule, validation_rule)
     if not st.at_end():
         raise WktParseError(f"trailing input at {st.pos}")
     return shape
 
 
-def _parse_shape(st: _State, geo: bool) -> dict:
+def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
+                 validation_rule: str = "error") -> dict:
     word = st.next().upper()
     custom = CUSTOM_SHAPE_PARSERS.get(word)
     if custom is not None:
@@ -442,7 +710,15 @@ def _parse_shape(st: _State, geo: bool) -> dict:
                 break
             if tok != ",":
                 raise WktParseError(f"expected , or ) got {tok!r}")
-        return _mk_polygon(rings, geo)
+        # rect demotion (ParsePolygonShape :125-133): a rectangular ring
+        # parses as an IRectangle, dateline crossing per DatelineRule.
+        # Engine extension: out-of-range coords keep the polygon path
+        # (the reference rejects them at VerifyX; we unwrap instead).
+        if (len(rings) == 1 and _is_rect_ring(rings[0])
+                and (not geo or all(-180.0 <= p[0] <= 180.0
+                                    for p in rings[0]))):
+            return _rect_from_poly(rings[0], geo, dateline_rule)
+        return _mk_polygon(rings, geo, dateline_rule, validation_rule)
     if word == "MULTIPOLYGON":
         _maybe_dims(st)
         if _maybe_empty(st):
@@ -459,7 +735,8 @@ def _parse_shape(st: _State, geo: bool) -> dict:
                     break
                 if tok != ",":
                     raise WktParseError(f"expected , or ) got {tok!r}")
-            members.append(_mk_polygon(rings, geo))  # per-part dateline rule
+            members.append(  # per-part dateline rule; no rect demotion
+                _mk_polygon(rings, geo, dateline_rule, validation_rule))
             tok = st.next()
             if tok == ")":
                 break
@@ -475,7 +752,8 @@ def _parse_shape(st: _State, geo: bool) -> dict:
         st.expect("(")
         members = []
         while True:
-            members.append(_parse_shape(st, geo))
+            members.append(_parse_shape(st, geo, dateline_rule,
+                                        validation_rule))
             tok = st.next()
             if tok == ")":
                 break
@@ -493,7 +771,7 @@ def _parse_shape(st: _State, geo: bool) -> dict:
     if word == "BUFFER":
         # spatial4n extension (:228-239): BUFFER(shape, dist)
         st.expect("(")
-        inner = _parse_shape(st, geo)
+        inner = _parse_shape(st, geo, dateline_rule, validation_rule)
         st.expect(",")
         dist = st.number()
         st.expect(")")
@@ -505,7 +783,9 @@ def _parse_shape(st: _State, geo: bool) -> dict:
     raise WktParseError(f"unknown shape type {word!r}")
 
 
-def parse_wkt_batch(texts, geo: bool = True):
+def parse_wkt_batch(texts, geo: bool = True,
+                    dateline_rule: str = "width180",
+                    validation_rule: str = "error"):
     """Batch parse: list/Series of WKT -> (records, errors) parallel lists.
 
     records[i] is a shape dict or None; errors[i] is None or the reason.
@@ -539,13 +819,16 @@ def parse_wkt_batch(texts, geo: bool = True):
     vals = s.to_numpy(dtype=object)
     for i in rest:
         try:
-            records[i] = parse_shape(vals[i], geo)
+            records[i] = parse_shape(vals[i], geo, dateline_rule,
+                                     validation_rule)
         except Exception as e:  # noqa: BLE001 - kernels never throw
             errors[i] = str(e)[:200]
     return records, errors
 
 
-def parse_wkt_columns(texts, geo: bool = True) -> dict:
+def parse_wkt_columns(texts, geo: bool = True,
+                      dateline_rule: str = "width180",
+                      validation_rule: str = "error") -> dict:
     """Columnar batch parse for the Arrow UDF: dict of arrays matching
     the Spark shape-struct schema. The dominant POINT case never builds
     per-row objects — coordinates land straight in the output arrays.
@@ -637,12 +920,20 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
                 flat = np.fromstring(m.group(1).replace(",", " "), sep=" ")
             except Exception:  # noqa: BLE001
                 continue
-            if flat.size < 6 or flat.size % 2:
-                continue
+            if flat.size < 8 or flat.size % 2:
+                continue  # <4 points: tokenizer raises "unclosed ring"
             vx, vy = flat[0::2], flat[1::2]
+            if vx[0] != vx[-1] or vy[0] != vy[-1]:
+                continue  # unclosed -> tokenizer path (error)
             if geo and (vx.max() - vx.min() > 180.0
                         or vx.max() > 180.0 or vx.min() < -180.0):
                 continue  # dateline rule / out-of-range -> tokenizer path
+            ring = list(zip(vx.tolist(), vy.tolist()))
+            if _is_rect_ring(ring):
+                continue  # rect demotion -> tokenizer path
+            if validation_rule != "none" and \
+                    _ring_invalid_reason(ring) is not None:
+                continue  # error/repair handling -> tokenizer path
             kind[i] = KIND_POLYGON
             xs[i] = vx.tolist(); ys[i] = vy.tolist()
             ring_offsets[i] = [0, int(vx.size)]
@@ -652,7 +943,7 @@ def parse_wkt_columns(texts, geo: bool = True) -> dict:
 
     for i in np.nonzero(todo)[0]:
         try:
-            rec = parse_shape(vals[i], geo)
+            rec = parse_shape(vals[i], geo, dateline_rule, validation_rule)
             kind[i] = rec["kind"]
             x[i] = rec["x"]; y[i] = rec["y"]; radius[i] = rec["radius"]
             minx[i] = rec["minx"]; maxx[i] = rec["maxx"]

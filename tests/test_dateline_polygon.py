@@ -22,7 +22,9 @@ def _pip(shape, px, py):
     ("POLYGON((170 0, 190 0, 190 10, 170 10, 170 0))",
      [(175, 5), (-175, 5), (179.9, 9)], [(0, 5), (169, 5), (-169, 5)]),
     # Width180 rule: >180-wide shell within bounds => crossing
-    ("POLYGON((170 -5, -170 -5, -170 5, 170 5, 170 -5))",
+    # (pentagon — a rectangular ring would demote to a rect instead,
+    # NtsWktShapeParser.MakeRectFromPoly)
+    ("POLYGON((170 -5, -178 -6, -170 -5, -170 5, 170 5, 170 -5))",
      [(175, 0), (-175, 0)], [(0, 0), (160, 0)]),
     # negative out-of-range
     ("POLYGON((-190 0, -170 0, -170 10, -190 10, -190 0))",
@@ -41,7 +43,8 @@ def test_shift_replay_invariant():
     """+180-degree longitude shift preserves containment verdicts
     (the reference's dateline-shifted replay)."""
     rng = np.random.default_rng(11)
-    base = [(10.0, -5.0), (40.0, -5.0), (40.0, 8.0), (10.0, 8.0), (10.0, -5.0)]
+    # not axis-parallel: a rectangular ring would demote to a rect
+    base = [(10.0, -5.0), (40.0, -5.0), (41.3, 8.0), (10.0, 8.0), (10.0, -5.0)]
     px = rng.uniform(-180, 180, 500)
     py = rng.uniform(-20, 20, 500)
 

@@ -102,8 +102,11 @@ def test_polygon_with_hole():
 
 
 def test_polygon_rect_relate():
-    d = P("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
-    xs, ys, ro = np.array(d["xs"]), np.array(d["ys"]), np.array(d["ring_offsets"])
+    # vertex arrays built directly: the equivalent WKT now demotes to a
+    # rect per MakeRectFromPoly and carries no xs/ys
+    xs = np.array([0.0, 10.0, 10.0, 0.0, 0.0])
+    ys = np.array([0.0, 0.0, 10.0, 10.0, 0.0])
+    ro = np.array([0, 5])
     assert relate_polygon_rect(xs, ys, ro, 2, 8, 2, 8) == R.CONTAINS
     assert relate_polygon_rect(xs, ys, ro, -5, 15, -5, 15) == R.WITHIN
     assert relate_polygon_rect(xs, ys, ro, 5, 15, 5, 15) == R.INTERSECTS
@@ -116,7 +119,9 @@ def test_dateline_polygon_width180_rule():
     """A shell wider than 180 deg is assumed dateline-crossing and cut
     into pages; bbox must be the narrow dateline-crossing one
     (NtsWktShapeParser DatelineRule.Width180)."""
-    d = P("POLYGON((175 -10, -175 -10, -175 10, 175 10, 175 -10))")
+    # pentagon (non-rect ring; a rect ring would demote per
+    # MakeRectFromPoly and PolyToRect180Rule instead)
+    d = P("POLYGON((175 -10, -178 -11, -175 -10, -175 10, 175 10, 175 -10))")
     assert d["kind"] == wkt.KIND_MULTIPOLYGON
     assert d["minx"] == 175 and d["maxx"] == -175  # crosses dateline
     assert d["maxy"] == 10
