@@ -2396,9 +2396,11 @@ def _norm_lon_sql(v: str) -> str:
 
 
 def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GetBuffered over all three core kinds: rect (pole-touch world
-    wrap + lon-skew expansion), point (-> circle), circle (radius
-    grows). Distances hit the pole-touch and plain branches."""
+    """GetBuffered over the four bufferable kinds: rect (pole-touch
+    world wrap + lon-skew expansion), point (-> circle), circle (radius
+    grows), buffered line (buf grows + lon-skew bbox expansion,
+    BufferedLine.cs:160-182). Distances hit the pole-touch and plain
+    branches."""
     from . import functions as SF
     sup = _load(spark, sf_dir, "supplier").selectExpr(
         "s_suppkey",
@@ -2411,17 +2413,23 @@ def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = F.expr("concat('POINT(', cast(cx as string), ' ', cast(cy as string), ')')")
     cw = F.expr("concat('BUFFER(POINT(', cast(cx as string), ' ', cast(cy as string), '), ',"
                 " cast(r as string), ')')")
+    lw = F.expr("concat('BUFFER(LINESTRING(', cast(sminx as string), ' ', cast(sminy as string),"
+                " ', ', cast(smaxx as string), ' ', cast(smaxy as string), '), ',"
+                " cast((r / 7.0) as string), ')')")
     sdf = (sup.withColumn("sr", SF.st_from_wkt(env))
               .withColumn("sp", SF.st_from_wkt(pw))
-              .withColumn("sc", SF.st_from_wkt(cw)))
+              .withColumn("sc", SF.st_from_wkt(cw))
+              .withColumn("sl", SF.st_from_wkt(lw)))
 
     def buf(col):
         s = F.col(col)
         return SF.st_buffer(s["kind"], s["x"], s["y"], s["radius"],
-                            s["minx"], s["maxx"], s["miny"], s["maxy"], F.col("d"))
+                            s["minx"], s["maxx"], s["miny"], s["maxy"],
+                            s["xs"], s["ys"], F.col("d"))
     out = (sdf.withColumn("br", buf("sr"))
               .withColumn("bp", buf("sp"))
-              .withColumn("bc", buf("sc")))
+              .withColumn("bc", buf("sc"))
+              .withColumn("bl", buf("sl")))
     return out.select(
         "s_suppkey",
         F.round(F.col("br.minx"), 6).alias("rb_minx"),
@@ -2429,7 +2437,13 @@ def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("br.miny").alias("rb_miny"),
         F.col("br.maxy").alias("rb_maxy"),
         F.col("bp.radius").alias("pb_r"),
-        F.col("bc.radius").alias("cb_r"))
+        F.col("bc.radius").alias("cb_r"),
+        F.col("bl.radius").alias("lb_r"),
+        F.round(F.col("bl.minx"), 6).alias("lb_minx"),
+        F.round(F.col("bl.maxx"), 6).alias("lb_maxx"),
+        F.col("bl.miny").alias("lb_miny"),
+        F.col("bl.maxy").alias("lb_maxy"),
+        F.size(F.col("bl.xs")).cast("int").alias("lb_nv"))
 
 
 _BUF_DL = ("CASE WHEN d = 0 THEN 0.0 "
@@ -2466,7 +2480,21 @@ SELECT s_suppkey,
   CASE WHEN north THEN 90.0
        WHEN south THEN least(90.0, smaxy + d) ELSE smaxy + d END AS rb_maxy,
   least(d, 180.0) AS pb_r,
-  least(r + d, 180.0) AS cb_r
+  least(r + d, 180.0) AS cb_r,
+  (r / 7.0 + d) AS lb_r,
+  round(greatest(-180.0, least(sminx, smaxx) - degrees(atan2(
+      sin(radians(r / 7.0 + d)) * cos(radians(greatest(abs(sminy), abs(smaxy)))),
+      cos(radians(r / 7.0 + d)) *
+        (1.0 - sin(radians(greatest(abs(sminy), abs(smaxy))))
+             * sin(radians(greatest(abs(sminy), abs(smaxy)))))))), 6) AS lb_minx,
+  round(least(180.0, greatest(sminx, smaxx) + degrees(atan2(
+      sin(radians(r / 7.0 + d)) * cos(radians(greatest(abs(sminy), abs(smaxy)))),
+      cos(radians(r / 7.0 + d)) *
+        (1.0 - sin(radians(greatest(abs(sminy), abs(smaxy))))
+             * sin(radians(greatest(abs(sminy), abs(smaxy)))))))), 6) AS lb_maxx,
+  greatest(-90.0, least(sminy, smaxy) - (r / 7.0 + d)) AS lb_miny,
+  least(90.0, greatest(sminy, smaxy) + (r / 7.0 + d)) AS lb_maxy,
+  2 AS lb_nv
 FROM br
 """
 

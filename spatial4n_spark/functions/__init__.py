@@ -566,15 +566,21 @@ def st_from_latlon(texts: pd.Series) -> pd.DataFrame:
 def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
               radius: pd.Series, minx: pd.Series, maxx: pd.Series,
               miny: pd.Series, maxy: pd.Series,
+              xs: pd.Series, ys: pd.Series,
               dist: pd.Series) -> pd.DataFrame:
-    """GetBuffered(distance) for point/circle/rect shape structs.
+    """GetBuffered(distance) for point/circle/rect/line shape structs.
 
     Point -> circle(distance) (PointImpl.cs:67-70); circle -> radius
     grows, clamped to 180 (CircleImpl.cs:78-81 + MakeCircle clamp);
     rect -> pole-wrap / lon-skew expansion (RectangleImpl.cs:76-114,
-    kernels.buffer.buffer_rect). Other kinds -> error row."""
+    kernels.buffer.buffer_rect); buffered line(string) -> buf grows
+    (BufferedLine.cs:160-163 / BufferedLineString.cs:96-99) with the
+    bbox expanded by the longitude-skew rule
+    (ExpandBufForLongitudeSkew, BufferedLine.cs:170-182), clamped to
+    world bounds like the BufferedLine ctor's bbox. Other kinds ->
+    error row."""
     from ..kernels.buffer import buffer_rect
-    from ..kernels.circle_box import geo_circle_bbox
+    from ..kernels.circle_box import geo_circle_bbox, lon_degrees_at_lat
     n = len(kind)
     k = kind.to_numpy(dtype=np.int8, na_value=0)
     d = dist.to_numpy(dtype=np.float64, na_value=np.nan)
@@ -614,14 +620,39 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
                       ("miny", bminy), ("maxy", bmaxy)):
             out[nm][rc] = v[rc]
         okind[rc] = 2
-    bad = ~(pt | ci | rc)
+    oxs: list = [None] * n
+    oys: list = [None] * n
+    ln = k == 4
+    if ln.any():
+        r0 = radius.to_numpy(dtype=np.float64, na_value=np.nan)
+        for i in np.nonzero(ln)[0]:
+            vx = np.asarray(xs.iloc[i], dtype=np.float64)
+            vy = np.asarray(ys.iloc[i], dtype=np.float64)
+            if vx.size == 0:
+                err[i] = "st_buffer: empty linestring"
+                continue
+            nb = (0.0 if np.isnan(r0[i]) else r0[i]) + d[i]
+            dl = float(lon_degrees_at_lat(np.abs(vy).max(), nb))
+            out["radius"][i] = nb
+            out["minx"][i] = max(-180.0, vx.min() - dl)
+            out["maxx"][i] = min(180.0, vx.max() + dl)
+            out["miny"][i] = max(-90.0, vy.min() - nb)
+            out["maxy"][i] = min(90.0, vy.max() + nb)
+            oxs[i] = vx.tolist()
+            oys[i] = vy.tolist()
+            okind[i] = 4
+    bad = ~(pt | ci | rc | ln)
     if bad.any():
         err[bad] = "st_buffer: unsupported shape kind"
     cols = {"kind": okind}
     for f in SHAPE_FIELDS:
         if f.name == "kind":
             continue
-        if f.name in ("xs", "ys", "ring_offsets"):
+        if f.name == "xs":
+            cols[f.name] = oxs
+        elif f.name == "ys":
+            cols[f.name] = oys
+        elif f.name == "ring_offsets":
             cols[f.name] = [None] * n
         elif f.name == "error":
             cols[f.name] = err

@@ -54,6 +54,8 @@ def test_sql_function_registration(spark):
                st_buffer(1, st_from_wkt(wkt).x, st_from_wkt(wkt).y,
                          cast(null as double), cast(null as double),
                          cast(null as double), cast(null as double),
-                         cast(null as double), 2.5).radius AS r
+                         cast(null as double),
+                         cast(null as array<double>),
+                         cast(null as array<double>), 2.5).radius AS r
         FROM shapes_sql_test""").first()
     assert (row.x, row.y, row.r) == (10.5, -3.25, 2.5)
