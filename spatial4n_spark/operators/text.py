@@ -68,24 +68,37 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Order-aware rolling fingerprint: sum_i (i+1) * h(w_i) mod 2^61-1.
 
     Distinguishes permutations (unlike a bag-of-words hash); pure
-    integer arithmetic so the oracle reproduces it exactly.
+    integer arithmetic so the oracle reproduces it exactly. The token
+    array is STAGED once (`__toks`) instead of re-splitting the text
+    per reference — CollapseProject keeps multiply-referenced non-cheap
+    aliases un-inlined, so the split runs once per row.
     """
     wh = WORD_HASH.format(w="w")
+    staged = df.withColumn("__toks", F.split(F.col(text), " "))
     fp = F.expr(
-        f"aggregate(zip_with(split({text}, ' '), "
-        f"sequence(1, size(split({text}, ' '))), "
+        "aggregate(zip_with(__toks, sequence(1, size(__toks)), "
         f"(w, i) -> (cast(i as bigint) * ({wh})) % 2305843009213693951), "
         "0L, (acc, v) -> (acc + v) % 2305843009213693951)")
-    return df.withColumn("fingerprint", fp)
+    return staged.withColumn("fingerprint", fp).drop("__toks")
 
 
 def with_simhash(df: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
     """SimHash over distinct words: bit b of the signature is 1 iff the
-    sum over words of (+1/-1 for word-hash bit b) is positive."""
+    sum over words of (+1/-1 for word-hash bit b) is positive.
+
+    The per-word md5 hash array is computed ONCE (`__wh`, the same
+    staging pattern as dedup.minhash_signature) and each bit folds over
+    the int array — previously each of the 16 bits re-walked
+    array_distinct(split(text)) recomputing md5 per word (VERDICT r02
+    item 6: 16 interpreted HOF passes per doc).
+    """
     wh = WORD_HASH.format(w="w")
+    staged = df.withColumn("__wh", F.expr(
+        f"transform(array_distinct(split({text}, ' ')), w -> {wh})"))
     bit_terms = []
     for b in range(bits):
-        s = (f"aggregate(array_distinct(split({text}, ' ')), 0L, "
-             f"(acc, w) -> acc + (CASE WHEN shiftright({wh}, {b}) % 2 = 1 THEN 1L ELSE -1L END))")
+        s = (f"aggregate(__wh, 0L, (acc, h) -> acc + "
+             f"(CASE WHEN shiftright(h, {b}) % 2 = 1 THEN 1L ELSE -1L END))")
         bit_terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b}L ELSE 0L END)")
-    return df.withColumn("simhash", F.expr(" + ".join(bit_terms)))
+    return (staged.withColumn("simhash", F.expr(" + ".join(bit_terms)))
+                  .drop("__wh"))
