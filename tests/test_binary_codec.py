@@ -49,3 +49,39 @@ def test_errors():
     # truly unknown kind is rejected
     with pytest.raises(WktParseError, match="unsupported shape kind"):
         B.write_shape({"kind": 42})
+
+
+def test_multipolygon_hole_nesting_in_wkb():
+    """ADVICE r02 (medium): a multipolygon's hole rings must be encoded
+    as interior rings of their part's WKB polygon, not standalone
+    filled polygons — an external WKB reader must see the hole."""
+    mp = parse_shape(
+        "MULTIPOLYGON(((0 0, 10 0, 10 10, 0 10, 0 0),"
+        "(2 2, 8 2, 8 8, 2 8, 2 2)), ((20 0, 30 0, 25 8, 20 0)))")
+    b = B.write_shape(mp)
+    # layout: type byte 5, then WKB: order byte + multipolygon(6) + n=2
+    assert b[0] == 5 and b[1] == 1
+    assert struct.unpack_from("<I", b, 2)[0] == 6
+    assert struct.unpack_from("<I", b, 6)[0] == 2  # two PARTS, not three
+    # part 1: polygon with 2 rings (shell + hole)
+    assert b[10] == 1
+    assert struct.unpack_from("<I", b, 11)[0] == 3  # polygon type
+    assert struct.unpack_from("<I", b, 15)[0] == 2  # nrings
+    # round-trip preserves even-odd semantics
+    r = B.read_shape(b)
+    import numpy as np
+
+    from spatial4n_spark.kernels.pip import points_in_polygon
+    inside = points_in_polygon(
+        np.array([1.0, 5.0, 25.0]), np.array([1.0, 5.0, 2.0]),
+        np.array(r["xs"]), np.array(r["ys"]), np.array(r["ring_offsets"]))
+    assert list(inside) == [True, False, True]
+
+
+def test_multipolygon_no_holes_wkb_unchanged():
+    mp = parse_shape(
+        "MULTIPOLYGON(((0 0, 4 0, 2 3, 0 0)), ((10 0, 14 0, 12 3, 10 0)))")
+    b = B.write_shape(mp)
+    assert struct.unpack_from("<I", b, 6)[0] == 2
+    r = B.read_shape(b)
+    assert len(r["ring_offsets"]) - 1 == 2
