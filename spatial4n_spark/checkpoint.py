@@ -129,9 +129,13 @@ def pending_buckets(out_path: str, in_path: str, n_buckets: int,
     done = load_manifests(out_path)
 
     def ok(m: Manifest) -> bool:
+        # n_buckets == 0 is the legacy wildcard: manifests written
+        # before the field existed deserialize to 0 and would otherwise
+        # be invalidated en masse on upgrade (ADVICE r02) — the other
+        # identity fields still gate them.
         return (m.kernel_version == kver
                 and m.input_path == in_path
-                and m.n_buckets == n_buckets
+                and (m.n_buckets == n_buckets or m.n_buckets == 0)
                 and (transform_name is None or m.transform == transform_name))
     return [b for b in range(n_buckets) if not (b in done and ok(done[b]))]
 
@@ -148,6 +152,19 @@ def run_checkpointed(spark: SparkSession, in_path: str, out_path: str,
 
     Returns a summary dict: buckets run/skipped, total rows, wall time.
     """
+    # Manifest IO and the stale-dir pre-delete below use driver-local
+    # filesystem calls; a remote URI (hdfs:///s3a://) would make
+    # isdir() silently False and resurrect the stale-partition bug
+    # (ADVICE r02). On a cluster, point out_path at a mounted/local
+    # staging dir or swap the manifest+delete layer for the Hadoop
+    # FileSystem API (Iceberg: overwritePartitions handles both).
+    for p, nm in ((in_path, "in_path"), (out_path, "out_path")):
+        scheme = p.split("://", 1)[0] if "://" in p else ""
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"run_checkpointed {nm}={p!r}: non-local URI scheme "
+                f"{scheme!r} is not supported by the local-FS manifest "
+                "layer")
     kver = kernel_version()
     tname = getattr(transform, "__name__", "transform")
     todo = pending_buckets(out_path, in_path, n_buckets, kver, tname)

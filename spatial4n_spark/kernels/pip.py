@@ -322,16 +322,26 @@ def _edge_split_ts(cx, cy, dx, dy, ax, ay, bx, by):
 
 
 def _on_polygon_boundary(px, py, xs, ys, ring_offsets) -> np.ndarray:
-    """Points lying on ANY ring boundary of a (multi)polygon."""
+    """Points lying on ANY ring boundary of a (multi)polygon.
+
+    One broadcast points x edges NumPy pass (edge-chunked to bound the
+    P x E temporary) instead of a Python loop per edge — the loop made
+    the covers test O(E_A * E_B) Python iterations on corpus-scale
+    polygons (ADVICE r02)."""
     ax, ay, bx, by = _poly_edge_arrays(xs, ys, ring_offsets)
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
-    out = np.zeros(px.shape, dtype=bool)
-    for i in range(len(ax)):
-        cross = (bx[i] - ax[i]) * (py - ay[i]) - (by[i] - ay[i]) * (px - ax[i])
-        out |= ((cross == 0.0)
-                & (px >= min(ax[i], bx[i])) & (px <= max(ax[i], bx[i]))
-                & (py >= min(ay[i], by[i])) & (py <= max(ay[i], by[i])))
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    out = np.zeros(px.shape[0], dtype=bool)
+    lox, hix = np.minimum(ax, bx), np.maximum(ax, bx)
+    loy, hiy = np.minimum(ay, by), np.maximum(ay, by)
+    chunk = max(1, 2_000_000 // max(1, px.shape[0]))
+    for s in range(0, len(ax), chunk):
+        e = slice(s, s + chunk)
+        cross = (bx[e] - ax[e]) * (py - ay[e]) - (by[e] - ay[e]) * (px - ax[e])
+        hit = ((cross == 0.0)
+               & (px >= lox[e]) & (px <= hix[e])
+               & (py >= loy[e]) & (py <= hiy[e]))
+        out |= hit.any(axis=1)
     return out
 
 
@@ -362,14 +372,21 @@ def _polygon_covers_polygon(axs, ays, aro, bxs, bys, bro) -> bool:
         my = cay[j] + mids_t * (cby[j] - cay[j])
         if not points_in_polygon(mx, my, axs, ays, aro).all():
             return False
-    # condition 2: walk A's edges against B
+    # condition 2: walk A's edges against B. Midpoints are BATCHED
+    # across all of A's edges into single PIP/boundary passes (the
+    # per-edge boundary test was the O(E_A * E_B) Python hot spot,
+    # ADVICE r02).
+    all_mx, all_my = [], []
     for j in range(len(eax)):
         ts = _edge_split_ts(eax[j], eay[j], ebx[j], eby[j], cax, cay, cbx, cby)
         if len(ts) < 2:
             continue
         mids_t = (ts[:-1] + ts[1:]) * 0.5
-        mx = eax[j] + mids_t * (ebx[j] - eax[j])
-        my = eay[j] + mids_t * (eby[j] - eay[j])
+        all_mx.append(eax[j] + mids_t * (ebx[j] - eax[j]))
+        all_my.append(eay[j] + mids_t * (eby[j] - eay[j]))
+    if all_mx:
+        mx = np.concatenate(all_mx)
+        my = np.concatenate(all_my)
         strict = (points_in_polygon(mx, my, bxs, bys, bro)
                   & ~_on_polygon_boundary(mx, my, bxs, bys, bro))
         if strict.any():

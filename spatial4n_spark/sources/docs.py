@@ -160,12 +160,23 @@ def extract_point_spans(docs: DataFrame) -> DataFrame:
     are both correctly-rounded (asserted in tests/test_point_fastpath).
     Malformed spans are dropped like the parser's error rows: Z/M
     points split into 3 parts (rejected by the size guard), non-numeric
-    coords yield null try_casts. 2-D points only (the telemetry shape
-    of this table); Z/M corpora use extract_geo_spans.
+    coords yield null try_casts, and the gate requires the exact
+    'POINT' keyword (next char is space or '(') plus exactly one paren
+    pair — so 'POINTX (1 2)' and 'POINT ((1 2))', which the parser
+    rejects, never leak through substring_index (ADVICE r02). The
+    gate stays regex-free: translate/length/substring are plain
+    codegen string ops.
+    2-D points only (the telemetry shape of this table); Z/M corpora
+    use extract_geo_spans.
     """
+    w = F.col("span.text")
+    one_pair = (
+        (F.length(w) - F.length(F.translate(w, "(", "")) == 1)
+        & (F.length(w) - F.length(F.translate(w, ")", "")) == 1))
+    keyword_ok = F.substring(w, 6, 1).isin(" ", "(")
     span = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
-                .where(F.col("span.text").startswith("POINT")
-                       & F.col("span.text").endswith(")"))
+                .where(w.startswith("POINT") & w.endswith(")")
+                       & keyword_ok & one_pair)
                 .select("doc_id", "pos", F.col("span.text").alias("wkt")))
     body = F.substring_index(F.substring_index("wkt", "(", -1), ")", 1)
     parts = F.split(F.trim(body), r"\s+")

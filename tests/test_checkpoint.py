@@ -165,3 +165,40 @@ def test_transform_and_bucket_count_in_validity(spark, bucketed_input,
     # matching identity -> none pending
     assert cp.pending_buckets(out, bucketed_input, N_BUCKETS,
                               transform_name="simple_transform") == []
+
+
+def test_legacy_manifest_without_bucket_count_still_valid(
+        spark, bucketed_input, tmp_path):
+    """ADVICE r02: manifests written before the n_buckets field existed
+    deserialize with n_buckets=0 and must be accepted as a legacy
+    wildcard, not mass-invalidated on upgrade."""
+    out = str(tmp_path / "out")
+    cp.run_checkpointed(spark, bucketed_input, out, simple_transform,
+                        N_BUCKETS)
+    # strip the field from every manifest, simulating pre-upgrade files
+    mdir = os.path.join(out, "_manifests")
+    for f in os.listdir(mdir):
+        p = os.path.join(mdir, f)
+        with open(p) as fh:
+            d = json.load(fh)
+        d.pop("n_buckets")
+        with open(p, "w") as fh:
+            json.dump(d, fh)
+    assert cp.pending_buckets(out, bucketed_input, N_BUCKETS,
+                              transform_name="simple_transform") == []
+    # but a DIFFERENT bucket count still needs its extra buckets
+    assert cp.pending_buckets(out, bucketed_input, N_BUCKETS + 2,
+                              transform_name="simple_transform") \
+        == [N_BUCKETS, N_BUCKETS + 1]
+
+
+def test_remote_uri_out_path_rejected(spark, bucketed_input, tmp_path):
+    """ADVICE r02: the local-FS manifest/pre-delete layer must refuse
+    hdfs:///s3a:// paths instead of silently resurrecting the
+    stale-partition bug."""
+    with pytest.raises(ValueError, match="non-local URI"):
+        cp.run_checkpointed(spark, bucketed_input,
+                            "s3a://bucket/out", simple_transform, N_BUCKETS)
+    with pytest.raises(ValueError, match="non-local URI"):
+        cp.run_checkpointed(spark, "hdfs://nn/docs", str(tmp_path / "o2"),
+                            simple_transform, N_BUCKETS)

@@ -34,6 +34,14 @@ def test_point_fastpath_drops_malformed(spark):
             ("d2", [{"kind": "text", "text": "POINT (bogus 20.5)",
                      "media_ref": None, "offset": 0}]),
             ("d3", [{"kind": "text", "text": "POINT (1 2 3)",
+                     "media_ref": None, "offset": 0}]),
+            # ADVICE r02: inputs the WKT parser rejects must not leak
+            # through the substring_index reduction
+            ("d4", [{"kind": "text", "text": "POINTX (1 2)",
+                     "media_ref": None, "offset": 0}]),
+            ("d5", [{"kind": "text", "text": "POINT ((1 2))",
+                     "media_ref": None, "offset": 0}]),
+            ("d6", [{"kind": "text", "text": "POINT (1 2) junk (3 4)",
                      "media_ref": None, "offset": 0}])]
     docs = spark.createDataFrame(
         rows, "doc_id string, spans array<struct<kind:string,text:string,"
