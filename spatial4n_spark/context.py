@@ -29,6 +29,11 @@ class SpatialEngineContext:
     dateline_rule: str = "width180"     # none | width180 | ccwRect
     validation_rule: str = "error"      # none | error | repairConvexHull
     #                                   # | repairBuffer0
+    # precision model (NtsSpatialContext.NormX/Y snap, :91-101; factory
+    # keys precisionModel/precisionScale, NtsSpatialContextFactory.cs
+    # :55-58,101-127)
+    precision_model: str = "floating"   # floating | floating_single | fixed
+    precision_scale: float | None = None
 
     # ---- factory (SpatialContextFactory.MakeSpatialContext analog) ----
     @classmethod
@@ -68,22 +73,51 @@ class SpatialEngineContext:
             if not match:
                 raise ValueError(f"Unknown validation rule: {vr}")
             ctx = replace(ctx, validation_rule=match[0])
+        pm = args.get("precisionModel")
+        ps = args.get("precisionScale")
+        if ps is not None and (pm is None or str(pm) != "fixed"):
+            # mirrors NtsSpatialContextFactory.cs:104-107
+            raise ValueError(
+                "Since precisionScale was specified; precisionModel must "
+                f"be 'fixed' but got: {pm}")
+        if pm is not None:
+            from .kernels.wkt import PRECISION_MODELS
+            match = [m for m in PRECISION_MODELS
+                     if m.lower() == str(pm).lower()]
+            if not match:
+                raise ValueError(f"Unknown precision model: {pm}")
+            ctx = replace(ctx, precision_model=match[0],
+                          precision_scale=(float(ps) if ps is not None
+                                           else None))
+            ctx.snap_fn()  # validate model/scale combination eagerly
         return ctx
+
+    def snap_fn(self):
+        """The coordinate quantizer for this context (None = floating)."""
+        from .kernels.wkt import make_snap
+        return make_snap(self.precision_model, self.precision_scale)
 
     # ---- WKT parse under this context's rules ----
     def parse_wkt(self, wkt: str) -> dict:
         from .kernels.wkt import parse_shape
         return parse_shape(wkt, geo=self.geo,
                            dateline_rule=self.dateline_rule,
-                           validation_rule=self.validation_rule)
+                           validation_rule=self.validation_rule,
+                           snap=self.snap_fn())
 
     # ---- normalization / validation (SpatialContext.cs:172-207) ----
     def norm_x(self, x):
         x = np.asarray(x, dtype=np.float64)
         if self.geo and self.norm_wrap_longitude:
             from .kernels.normalize import norm_lon_deg
-            return norm_lon_deg(x)
-        return x
+            x = norm_lon_deg(x)
+        snap = self.snap_fn()  # NtsSpatialContext.NormX :91-95
+        return snap(x) if snap is not None else x
+
+    def norm_y(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        snap = self.snap_fn()  # NtsSpatialContext.NormY :97-101
+        return snap(y) if snap is not None else y
 
     def verify_x(self, x):
         lo, hi = self.world_bounds[0], self.world_bounds[1]

@@ -58,7 +58,9 @@ _WKT_UDF_CACHE = {("width180", "error", True): _st_from_wkt_default}
 
 
 def st_from_wkt(texts, dateline_rule: str = "width180",
-                validation_rule: str = "error", geo: bool = True):
+                validation_rule: str = "error", geo: bool = True,
+                precision_model: str = "floating",
+                precision_scale: float | None = None):
     """WKT -> shape struct (+ error column instead of exceptions).
 
     Parser semantics: Io/WktShapeParser.cs grammar incl. ENVELOPE arg
@@ -71,18 +73,22 @@ def st_from_wkt(texts, dateline_rule: str = "width180",
     Width180/Error, NtsSpatialContextFactory.cs:73-75); configured
     variants are cached pandas UDFs with the rules bound in the closure.
     """
-    key = (dateline_rule, validation_rule, geo)
+    key = (dateline_rule, validation_rule, geo, precision_model,
+           precision_scale)
+    if precision_model == "floating":
+        key = (dateline_rule, validation_rule, geo)  # default-cache key
     udf = _WKT_UDF_CACHE.get(key)
     if udf is None:
         if dateline_rule not in _wkt.DATELINE_RULES:
             raise ValueError(f"unknown dateline rule {dateline_rule!r}")
         if validation_rule not in _wkt.VALIDATION_RULES:
             raise ValueError(f"unknown validation rule {validation_rule!r}")
+        snap = _wkt.make_snap(precision_model, precision_scale)
 
         @pandas_udf(SHAPE_SCHEMA)
         def _configured(t: pd.Series) -> pd.DataFrame:
             return pd.DataFrame(_wkt.parse_wkt_columns(
-                t, geo, dateline_rule, validation_rule))
+                t, geo, dateline_rule, validation_rule, snap))
 
         udf = _WKT_UDF_CACHE[key] = _configured
     return udf(texts)

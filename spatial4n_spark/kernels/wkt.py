@@ -89,12 +89,45 @@ class WktParseError(ValueError):
     pass
 
 
+# ---------------------------------------------------------------------------
+# precision model (NtsSpatialContext.NormX/NormY -> PrecisionModel
+# .MakePrecise, NtsSpatialContext.cs:91-101; factory keys precisionModel /
+# precisionScale, NtsSpatialContextFactory.cs:55-58,101-127)
+# ---------------------------------------------------------------------------
+
+PRECISION_MODELS = ("floating", "floating_single", "fixed")
+
+
+def make_snap(precision_model: str = "floating",
+              precision_scale: float | None = None):
+    """Vectorized coordinate quantizer or None (floating = no-op).
+
+    fixed: JTS PrecisionModel.makePrecise semantics — Math.round
+    (floor(v*scale + 0.5)) / scale; floating_single: float32
+    round-trip. Applied to every numeric token the tokenizer reads
+    (coords AND distances — the reference's NormDist also snaps,
+    NtsWktShapeParser.cs:259-262) and to the regex fast-path arrays.
+    """
+    if precision_model == "floating":
+        return None
+    if precision_model == "floating_single":
+        return lambda v: np.asarray(v, dtype=np.float32).astype(np.float64)
+    if precision_model == "fixed":
+        if precision_scale is None or precision_scale <= 0:
+            raise ValueError(
+                "precisionModel=fixed requires a positive precisionScale")
+        s = float(precision_scale)
+        return lambda v: np.floor(np.asarray(v, dtype=np.float64) * s + 0.5) / s
+    raise ValueError(f"unknown precision model {precision_model!r}")
+
+
 class _State:
     """Cursor over the token stream (WktShapeParser.State, :461-737)."""
 
-    def __init__(self, text: str):
+    def __init__(self, text: str, snap=None):
         self.text = text
         self.pos = 0
+        self.snap = snap
 
     def peek(self) -> Optional[str]:
         m = _TOKEN.match(self.text, self.pos)
@@ -115,9 +148,10 @@ class _State:
     def number(self) -> float:
         tok = self.next()
         try:
-            return float(tok)
+            v = float(tok)
         except ValueError:
             raise WktParseError(f"expected number, got {tok!r} at {self.pos}")
+        return float(self.snap(v)) if self.snap is not None else v
 
     def at_end(self) -> bool:
         return _TOKEN.match(self.text, self.pos) is None and not self.text[self.pos:].strip()
@@ -628,18 +662,20 @@ def unregister_shape_parser(word: str) -> None:
 
 def parse_shape(wkt: str, geo: bool = True,
                 dateline_rule: str = "width180",
-                validation_rule: str = "error") -> dict:
+                validation_rule: str = "error",
+                snap=None) -> dict:
     """Parse one WKT string to a shape record. Raises WktParseError.
 
     dateline_rule / validation_rule mirror NtsSpatialContextFactory's
     datelineRule (default Width180) and validationRule (default Error)
-    — NtsSpatialContextFactory.cs:73-75.
+    — NtsSpatialContextFactory.cs:73-75. `snap` is an optional
+    coordinate quantizer from make_snap (precision model).
     """
     if dateline_rule not in DATELINE_RULES:
         raise ValueError(f"unknown dateline rule {dateline_rule!r}")
     if validation_rule not in VALIDATION_RULES:
         raise ValueError(f"unknown validation rule {validation_rule!r}")
-    st = _State(wkt)
+    st = _State(wkt, snap=snap)
     shape = _parse_shape(st, geo, dateline_rule, validation_rule)
     if not st.at_end():
         raise WktParseError(f"trailing input at {st.pos}")
@@ -785,7 +821,8 @@ def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
 
 def parse_wkt_batch(texts, geo: bool = True,
                     dateline_rule: str = "width180",
-                    validation_rule: str = "error"):
+                    validation_rule: str = "error",
+                    snap=None):
     """Batch parse: list/Series of WKT -> (records, errors) parallel lists.
 
     records[i] is a shape dict or None; errors[i] is None or the reason.
@@ -810,6 +847,8 @@ def parse_wkt_batch(texts, geo: bool = True,
         # fast path (xstrtod) is NOT and loses ulps on long decimals
         pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
         pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
+    if snap is not None:
+        pxv, pyv = snap(pxv), snap(pyv)
     fast = ~np.isnan(pxv) & ~np.isnan(pyv) & ~null_mask.to_numpy()
     for i in np.nonzero(fast)[0]:
         records[i] = _mk_point(float(pxv[i]), float(pyv[i]))
@@ -820,7 +859,7 @@ def parse_wkt_batch(texts, geo: bool = True,
     for i in rest:
         try:
             records[i] = parse_shape(vals[i], geo, dateline_rule,
-                                     validation_rule)
+                                     validation_rule, snap)
         except Exception as e:  # noqa: BLE001 - kernels never throw
             errors[i] = str(e)[:200]
     return records, errors
@@ -828,7 +867,8 @@ def parse_wkt_batch(texts, geo: bool = True,
 
 def parse_wkt_columns(texts, geo: bool = True,
                       dateline_rule: str = "width180",
-                      validation_rule: str = "error") -> dict:
+                      validation_rule: str = "error",
+                      snap=None) -> dict:
     """Columnar batch parse for the Arrow UDF: dict of arrays matching
     the Spark shape-struct schema. The dominant POINT case never builds
     per-row objects — coordinates land straight in the output arrays.
@@ -845,6 +885,8 @@ def parse_wkt_columns(texts, geo: bool = True,
         ext = s.where(~s.isna(), "").astype(str).str.extract(_POINT_FAST, expand=True)
         pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
         pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
+    if snap is not None:
+        pxv, pyv = snap(pxv), snap(pyv)
     fast = ~np.isnan(pxv) & ~np.isnan(pyv) & ~null_mask
 
     kind = np.where(fast, np.int8(KIND_POINT), np.int8(KIND_EMPTY))
@@ -874,6 +916,8 @@ def parse_wkt_columns(texts, geo: bool = True,
             e2 = np.asarray(env[1].fillna("nan"), dtype=np.float64)
             e3 = np.asarray(env[2].fillna("nan"), dtype=np.float64)
             e4 = np.asarray(env[3].fillna("nan"), dtype=np.float64)
+        if snap is not None:
+            e1, e2, e3, e4 = snap(e1), snap(e2), snap(e3), snap(e4)
         em = todo & ~np.isnan(e1) & ~np.isnan(e2) & ~np.isnan(e3) & ~np.isnan(e4) \
             & (e4 <= e3)
         if em.any():
@@ -897,6 +941,8 @@ def parse_wkt_columns(texts, geo: bool = True,
             bx = np.asarray(bp[0].fillna("nan"), dtype=np.float64)
             by = np.asarray(bp[1].fillna("nan"), dtype=np.float64)
             br = np.asarray(bp[2].fillna("nan"), dtype=np.float64)
+        if snap is not None:  # NormDist snaps too (NtsWktShapeParser)
+            bx, by, br = snap(bx), snap(by), snap(br)
         bm = todo & ~np.isnan(bx) & ~np.isnan(by) & ~np.isnan(br) & (br >= 0)
         if bm.any():
             r_c = np.minimum(br[bm], 180.0) if geo else br[bm]
@@ -922,6 +968,8 @@ def parse_wkt_columns(texts, geo: bool = True,
                 continue
             if flat.size < 8 or flat.size % 2:
                 continue  # <4 points: tokenizer raises "unclosed ring"
+            if snap is not None:
+                flat = snap(flat)
             vx, vy = flat[0::2], flat[1::2]
             if vx[0] != vx[-1] or vy[0] != vy[-1]:
                 continue  # unclosed -> tokenizer path (error)
@@ -943,7 +991,8 @@ def parse_wkt_columns(texts, geo: bool = True,
 
     for i in np.nonzero(todo)[0]:
         try:
-            rec = parse_shape(vals[i], geo, dateline_rule, validation_rule)
+            rec = parse_shape(vals[i], geo, dateline_rule, validation_rule,
+                              snap)
             kind[i] = rec["kind"]
             x[i] = rec["x"]; y[i] = rec["y"]; radius[i] = rec["radius"]
             minx[i] = rec["minx"]; maxx[i] = rec["maxx"]

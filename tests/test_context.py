@@ -62,3 +62,74 @@ def test_distance_matches_kernel():
     got = GEO.distance(10.0, 20.0, 30.0, 40.0)
     want = geo_distance_deg(10.0, 20.0, 30.0, 40.0, "haversine")
     assert got == want
+
+
+# ---- precision model (NtsSpatialContext.cs:91-101, factory keys
+# precisionModel/precisionScale :55-58,101-127) -----------------------------
+
+def test_precision_model_fixed_snaps_coordinates():
+    from spatial4n_spark.context import SpatialEngineContext
+    ctx = SpatialEngineContext.from_args(
+        {"precisionModel": "fixed", "precisionScale": "100"})
+    r = ctx.parse_wkt("POINT (10.123456 -3.987654)")
+    assert (r["x"], r["y"]) == (10.12, -3.99)
+    # JTS makePrecise = Math.round semantics: floor(v*scale + 0.5)/scale
+    assert ctx.parse_wkt("POINT (0.005 -0.005)")["x"] == 0.01
+    # polygons snap every vertex (and the bbox follows)
+    p = ctx.parse_wkt("POLYGON((0.004 0.004, 10.006 0.004, 5.001 5.009, 0.004 0.004))")
+    assert p["xs"][:3] == [0.0, 10.01, 5.0]
+    assert p["minx"] == 0.0 and p["maxy"] == 5.01
+
+
+def test_precision_model_floating_single():
+    import numpy as np
+
+    from spatial4n_spark.context import SpatialEngineContext
+    ctx = SpatialEngineContext.from_args({"precisionModel": "floating_single"})
+    v = 10.123456789123456
+    r = ctx.parse_wkt(f"POINT ({v} 0)")
+    assert r["x"] == float(np.float32(v)) and r["x"] != v
+
+
+def test_precision_model_default_is_noop_roundtrip():
+    from spatial4n_spark.context import SpatialEngineContext
+    ctx = SpatialEngineContext()
+    v = 112.50000000000003
+    assert ctx.parse_wkt(f"POINT ({v} 1)")["x"] == v
+
+
+def test_precision_scale_requires_fixed_model():
+    import pytest
+
+    from spatial4n_spark.context import SpatialEngineContext
+    with pytest.raises(ValueError, match="must be 'fixed'"):
+        SpatialEngineContext.from_args({"precisionScale": "10"})
+    with pytest.raises(ValueError, match="precisionScale"):
+        SpatialEngineContext.from_args({"precisionModel": "fixed"})
+
+
+def test_norm_xy_apply_snap():
+    import numpy as np
+
+    from spatial4n_spark.context import SpatialEngineContext
+    ctx = SpatialEngineContext.from_args(
+        {"precisionModel": "fixed", "precisionScale": "10",
+         "normWrapLongitude": "true"})
+    assert ctx.norm_x(np.array([190.04]))[0] == -170.0
+    assert ctx.norm_y(np.array([3.26]))[0] == 3.3
+
+
+def test_spark_st_from_wkt_precision(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import functions as SF
+    df = spark.createDataFrame(pd.DataFrame(
+        {"w": ["POINT (10.123456 -3.987654)",
+               "ENVELOPE (1.004, 2.006, 5.009, 3.001)"]}))
+    got = df.select(SF.st_from_wkt(
+        F.col("w"), precision_model="fixed", precision_scale=100.0
+    ).alias("s")).select("s.*").collect()
+    assert (got[0]["x"], got[0]["y"]) == (10.12, -3.99)
+    assert (got[1]["minx"], got[1]["maxx"],
+            got[1]["miny"], got[1]["maxy"]) == (1.0, 2.01, 3.0, 5.01)
