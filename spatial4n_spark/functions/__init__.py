@@ -123,15 +123,11 @@ def st_cell_code(lat, lon, precision: int):
 def _st_cover_codes_udf(minx: pd.Series, maxx: pd.Series, miny: pd.Series,
                         maxy: pd.Series, precision: pd.Series) -> pd.Series:
     p = int(precision.iloc[0])
-    out = []
-    mnx, mxx, mny, mxy = (minx.to_numpy(), maxx.to_numpy(),
-                          miny.to_numpy(), maxy.to_numpy())
-    for i in range(len(mnx)):
-        if np.isnan(mnx[i]):
-            out.append([])
-        else:
-            out.append(_gh.cover_codes_bbox(mnx[i], mxx[i], mny[i], mxy[i], p))
-    return pd.Series(out)
+    return pd.Series(_gh.cover_codes_bbox_batch(
+        minx.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+        miny.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxy.to_numpy(dtype=np.float64, na_value=np.nan), p))
 
 
 def st_cover_codes(minx, maxx, miny, maxy, precision: int):

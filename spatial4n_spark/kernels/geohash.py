@@ -202,6 +202,64 @@ def cover_codes_bbox(minx, maxx, miny, maxy, precision: int) -> list:
     return _interleave_codes(lon_g.ravel(), lat_g.ravel(), precision).tolist()
 
 
+_MORTON_TABLES: dict = {}
+
+
+def _morton_tables(precision: int):
+    """(table_lon, table_lat): precomputed interleave contributions of
+    each axis index. Interleaving distributes over OR with disjoint bit
+    positions, so morton(li, ti) == table_lon[li] | table_lat[ti] —
+    bit-identical to _interleave_codes without its per-bit loop."""
+    t = _MORTON_TABLES.get(precision)
+    if t is None:
+        nbits = precision * 5
+        lon_n = 1 << ((nbits + 1) // 2)
+        lat_n = 1 << (nbits // 2)
+        t = (_interleave_codes(np.arange(lon_n), np.zeros(lon_n, np.int64),
+                               precision),
+             _interleave_codes(np.zeros(lat_n, np.int64), np.arange(lat_n),
+                               precision))
+        _MORTON_TABLES[precision] = t
+    return t
+
+
+def cover_codes_bbox_batch(minx, maxx, miny, maxy, precision: int) -> list:
+    """Batch cover_codes_bbox: one vectorized index pass for the whole
+    batch + tiny table-lookup per row (no per-bit interleave loop).
+
+    This is the Arrow-UDF shape-side cover for the distributed joins:
+    ~30x faster per row than the scalar path, and using it instead of
+    the pure-Column sequence/transform expression also keeps the
+    whole-stage-codegen source small (the HOF cover expression is
+    CodegenFallback anyway — interpreted per row — AND its Janino
+    compile alone cost seconds per plan)."""
+    minx = np.asarray(minx, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    nbits = precision * 5
+    lon_n = 1 << ((nbits + 1) // 2)
+    lo_lon, lo_lat = cell_indices(miny, minx, precision)
+    hi_lon, hi_lat = cell_indices(maxy, maxx, precision)
+    tlon, tlat = _morton_tables(precision)
+    out = []
+    nanrow = np.isnan(minx)
+    wrap = minx > maxx
+    for i in range(len(minx)):
+        if nanrow[i]:
+            out.append([])
+            continue
+        if wrap[i]:  # dateline-crossing: [minx..180] + [-180..maxx]
+            lon_r = np.concatenate([np.arange(lo_lon[i], lon_n),
+                                    np.arange(0, hi_lon[i] + 1)])
+        else:
+            lon_r = np.arange(lo_lon[i], hi_lon[i] + 1)
+        lat_r = np.arange(lo_lat[i], hi_lat[i] + 1)
+        out.append((tlon[lon_r][:, None] | tlat[lat_r][None, :])
+                   .ravel().tolist())
+    return out
+
+
 def cover_cells_bbox(minx, maxx, miny, maxy, precision: int) -> list:
     """All cells at `precision` overlapping a (dateline-aware) bbox.
 

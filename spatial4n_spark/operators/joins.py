@@ -142,7 +142,8 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Col
     box = SF.st_circle_bbox(qx, qy, radius_deg if isinstance(radius_deg, Column)
                             else F.lit(float(radius_deg)))
     q = queries.withColumn("__box", box)
-    q = (q.withColumn("__cells", SF.st_cover_codes_col(
+    # batch Arrow cover on the (small) query side — see shape_shape_join
+    q = (q.withColumn("__cells", SF.st_cover_codes(
             F.col("__box.minx"), F.col("__box.maxx"),
             F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
           .withColumn("cover_cell", F.explode("__cells"))
@@ -166,7 +167,8 @@ def _knn_core(points: DataFrame, queries: DataFrame, k: int,
     re-rank) -> row_number <= k."""
     qx, qy = F.col(query_x), F.col(query_y)
     q = queries.withColumn("__box", SF.st_circle_bbox(qx, qy, F.lit(float(radius_deg))))
-    q = (q.withColumn("__cells", SF.st_cover_codes_col(
+    # batch Arrow cover on the (small) query side — see shape_shape_join
+    q = (q.withColumn("__cells", SF.st_cover_codes(
             F.col("__box.minx"), F.col("__box.maxx"),
             F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
           .withColumn("cover_cell", F.explode("__cells"))
@@ -293,14 +295,20 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     # ERROR in BENCH_r02). axis_idx is monotone in the coordinate, so
     # idx(greatest(lminx, rminx)) == greatest(lidx, ridx) and the
     # reference-point dedup semantics are unchanged.
+    # Cover arrays come from the BATCH Arrow kernel, not the pure-Column
+    # sequence/transform expression: the HOF expression is
+    # CodegenFallback (interpreted ~1ms/row) and its enclosing stage
+    # cost seconds of Janino compile per plan; the vectorized kernel is
+    # ~30x faster per shape and keeps the codegen stage small. Both
+    # produce the same cell set from the same exact axis indexing.
     lc = (left.withColumn("__lli0", SF.st_axis_idx_col(ls["minx"], "lon", precision))
               .withColumn("__lti0", SF.st_axis_idx_col(ls["miny"], "lat", precision))
-              .withColumn("__cells", SF.st_cover_codes_col(
+              .withColumn("__cells", SF.st_cover_codes(
                   ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
               .withColumn("__cell", F.explode("__cells")).drop("__cells"))
     rc = (right.withColumn("__rli0", SF.st_axis_idx_col(rs["minx"], "lon", precision))
                .withColumn("__rti0", SF.st_axis_idx_col(rs["miny"], "lat", precision))
-               .withColumn("__cells", SF.st_cover_codes_col(
+               .withColumn("__cells", SF.st_cover_codes(
                    rs["minx"], rs["maxx"], rs["miny"], rs["maxy"], precision))
                .withColumn("__cell", F.explode("__cells")).drop("__cells"))
     if broadcast_right:

@@ -102,7 +102,7 @@ def zonal_stats(pixels: DataFrame, zones: DataFrame,
     px = pixels.withColumn(
         "__cell", SF.st_cell_code_col(F.col("px_lat"), F.col("px_lon"), precision))
     zc = (zones
-          .withColumn("__cells", SF.st_cover_codes_col(
+          .withColumn("__cells", SF.st_cover_codes(
               F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"), precision))
           .withColumn("__cell", F.explode("__cells"))
           .drop("__cells"))
