@@ -92,8 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_banded": c.q_embed_neardup_banded,
         "ivf_assign": c.q_ivf_assign,
         "ivf_topk": c.q_ivf_topk,
-        # --- raster<->vector ---
+        # --- raster<->vector / multimodal ---
         "zonal_stats": c.q_zonal_stats,
+        "multimodal_features": c.q_multimodal_features,
         # --- relational coverage ---
         "tpch_pricing_summary": c.q_tpch_pricing_summary,
         "events_sessionize": c.q_events_sessionize,
@@ -102,8 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_on_bearing": c.q_point_on_bearing,
         "line_contains_join": c.q_line_contains_join,
         "linestring_contains": c.q_linestring_contains,
-        "extent_agg": c.q_extent_agg,
-        "collection_relate": c.q_collection_relate,
+        "extent_collection": c.q_extent_collection,
         "buffer_shapes": c.q_buffer_shapes,
         # --- codecs / normalization ---
         "legacy_roundtrip": c.q_legacy_roundtrip,
@@ -154,14 +154,14 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": c.ORACLE_IVF_ASSIGN,
         "ivf_topk": c.ORACLE_IVF_TOPK,
         "zonal_stats": c.ORACLE_ZONAL,
+        "multimodal_features": c.ORACLE_MULTIMODAL,
         "tpch_pricing_summary": c.ORACLE_TPCH_Q1,
         "events_sessionize": c.ORACLE_EVENTS,
         "st_area_ranges": c.ORACLE_ST_AREA_RANGES,
         "point_on_bearing": c.ORACLE_BEARING,
         "line_contains_join": c.ORACLE_LINE,
         "linestring_contains": c.ORACLE_LINESTRING,
-        "extent_agg": c.ORACLE_EXTENT,
-        "collection_relate": c.ORACLE_COLLECTION,
+        "extent_collection": c.ORACLE_EXTENT_COLLECTION,
         "buffer_shapes": c.ORACLE_BUFFER,
         "legacy_roundtrip": c.ORACLE_LEGACY,
         "binary_roundtrip": c.ORACLE_BINARY,

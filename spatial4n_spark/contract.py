@@ -2626,3 +2626,114 @@ SELECT lid, rid,
 FROM pairs
 WHERE NOT {_pp_sat_disjoint(_PP_TRI_A, _PPJ_TRI_B)}
 """
+
+
+# ---------------------------------------------------------------------------
+# round 3: merged extent+collection (frees a slot under the 50-query
+# driver cap) and the driver-verified multimodal pipeline
+# ---------------------------------------------------------------------------
+
+def q_extent_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extent_agg + collection_relate merged wide on the nation key —
+    both are 25-row nation-keyed aggregates (50-query driver cap;
+    every merged column family keeps its own oracle-verified values)."""
+    a = q_extent_agg(spark, sf_dir)
+    b = q_collection_relate(spark, sf_dir) \
+        .withColumnRenamed("nationkey", "c_nationkey")
+    return a.join(b, "c_nationkey")
+
+
+ORACLE_EXTENT_COLLECTION = f"""
+WITH ext AS ({ORACLE_EXTENT}),
+col AS ({ORACLE_COLLECTION})
+SELECT ext.c_nationkey, ext.minx, ext.maxx, ext.miny, ext.maxy,
+       col.combined_rel
+FROM ext JOIN col ON ext.c_nationkey = col.nationkey
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media pipeline, driver-verified END TO END: binary
+    payload synthesis (pure function of media_ref) -> mapInPandas
+    decode of the binary column -> JVM higher-order-function sample
+    stats -> video frame sampling (slice/explode). The deterministic
+    FAKE codec (operators/multimodal._fake_payload) makes every decode
+    output oracle-reproducible in SQL, so the Spark-side plumbing —
+    binary columns, typed meta, Arrow batch shapes, per-modality
+    dims — is hash-checked, not just unit-tested."""
+    from .operators.multimodal import (decode_media, generate_media,
+                                       media_features, sample_frames)
+    refs = _load(spark, sf_dir, "part").selectExpr(
+        "concat('media://item/', cast(p_partkey as string)) AS media_ref")
+    dec = decode_media(generate_media(spark, refs))
+    feats = media_features(dec)
+    dims = dec.select("media_ref", "width", "height", "channels")
+    fr = (sample_frames(dec, every_n=2)
+          .groupBy("media_ref").agg(F.count("*").cast("int").alias("frames")))
+    out = feats.join(dims, "media_ref").join(fr, "media_ref", "left")
+    return out.select(
+        "media_ref", "modality",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        "width", "height", "channels",
+        F.round("sample_mean", 6).alias("mean6"),
+        F.round("sample_std", 6).alias("std6"),
+        F.round("sample_min", 6).alias("min6"),
+        F.round("sample_max", 6).alias("max6"),
+        "frames")
+
+
+# The FAKE codec layout (multimodal._fake_payload / _decode_samples):
+# seed = byte-sum(ref) % 9973; kind = seed % 3 (0 image, 1 audio,
+# 2 video); samples[i] = (seed*31 + i*7) % 251 as uint8 -> float32/255.
+# DuckDB's FLOAT division is bit-identical to NumPy float32 (verified),
+# and both engines fold the f64 casts sequentially.
+ORACLE_MULTIMODAL = """
+WITH refs AS (
+  SELECT concat('media://item/', CAST(p_partkey AS VARCHAR)) AS media_ref
+  FROM part
+),
+sd AS (
+  SELECT media_ref,
+         list_aggregate(list_transform(range(1, length(media_ref) + 1),
+             i -> ascii(substring(media_ref, CAST(i AS INT), 1))), 'sum')
+           % 9973 AS seed
+  FROM refs
+),
+d AS (
+  SELECT media_ref, seed, seed % 3 AS kind,
+         CASE seed % 3 WHEN 0 THEN 8 + seed % 8 WHEN 2 THEN 8 END AS w,
+         CASE seed % 3 WHEN 0 THEN 8 + (seed // 8) % 8 WHEN 2 THEN 8 END AS h,
+         CASE seed % 3 WHEN 0 THEN 3 WHEN 1 THEN 1
+              ELSE 4 + seed % 4 END AS c
+  FROM sd
+),
+nn AS (
+  SELECT *, CASE kind WHEN 0 THEN w * h * 3 WHEN 1 THEN 64 + seed % 64
+                 ELSE 64 * c END AS n
+  FROM d
+),
+v AS (
+  SELECT *, list_transform(range(0, n),
+        i -> CAST(CAST((seed * 31 + i * 7) % 251 AS FLOAT)
+                  / CAST(255 AS FLOAT) AS DOUBLE)) AS vals
+  FROM nn
+),
+st AS (
+  SELECT *, list_aggregate(vals, 'sum') AS s1,
+         list_aggregate(list_transform(vals, x -> x * x), 'sum') AS s2,
+         list_aggregate(vals, 'min') AS mn,
+         list_aggregate(vals, 'max') AS mx
+  FROM v
+)
+SELECT media_ref,
+       CASE kind WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(n AS INT) AS n_samples,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(c AS INT) AS channels,
+       round(s1 / n, 6) AS mean6,
+       round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS std6,
+       round(mn, 6) AS min6, round(mx, 6) AS max6,
+       CASE WHEN kind = 2 THEN CAST((c + 1) // 2 AS INT) END AS frames
+FROM st
+"""
