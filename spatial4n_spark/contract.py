@@ -2694,9 +2694,9 @@ WITH refs AS (
 ),
 sd AS (
   SELECT media_ref,
-         list_aggregate(list_transform(range(1, length(media_ref) + 1),
+         CAST(list_aggregate(list_transform(range(1, length(media_ref) + 1),
              i -> ascii(substring(media_ref, CAST(i AS INT), 1))), 'sum')
-           % 9973 AS seed
+           % 9973 AS BIGINT) AS seed
   FROM refs
 ),
 d AS (
