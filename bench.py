@@ -80,10 +80,11 @@ def main() -> None:
         "pip_rect_join", "polygon_pip_join", "polygon_polygon_relate", "polygon_polygon_join",
         "dwithin_join", "knn", "knn_rings", "tile_assign", "cell_rollup",
         "cell_sets", "circle_rect_relate", "polygon_rect_relate",
-        "collection_relate", "extent_agg", "st_area_ranges",
+        "extent_collection", "st_area_ranges",
         "line_contains_join", "buffer_shapes", "dedup_exact",
         "minhash_lsh_pairs", "embed_knn", "embed_neardup",
-        "embed_neardup_banded", "zonal_stats", "span_integrity",
+        "embed_neardup_banded", "zonal_stats", "multimodal_features",
+        "span_integrity",
         "legacy_roundtrip", "normalize_units",
     ]
     import __spark_entry__ as entry

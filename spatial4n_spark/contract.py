@@ -2665,7 +2665,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        media_features, sample_frames)
     refs = _load(spark, sf_dir, "part").selectExpr(
         "concat('media://item/', cast(p_partkey as string)) AS media_ref")
-    dec = decode_media(generate_media(spark, refs))
+    # materialize the decode ONCE: three downstream branches (stats,
+    # dims, frame sampling) would otherwise re-run the mapInPandas
+    # decode per branch — at scale this is a persisted/written stage
+    dec = decode_media(generate_media(spark, refs)).localCheckpoint()
     feats = media_features(dec)
     dims = dec.select("media_ref", "width", "height", "channels")
     fr = (sample_frames(dec, every_n=2)
