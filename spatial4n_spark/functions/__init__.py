@@ -276,17 +276,23 @@ def _st_relate_shape_point_udf(kind: pd.Series, x: pd.Series, y: pd.Series,
     m = (kd == _wkt.KIND_POLYGON) | (kd == _wkt.KIND_MULTIPOLYGON)
     if m.any():
         # group rows sharing the same polygon (joins replicate one shape
-        # to many candidate points) and PIP each group as one batch
+        # to many candidate points) and PIP each group as one batch.
+        # Key building avoids per-row pandas .iloc (2-5us each — it was
+        # the refine hot spot at >100k pairs/batch): one to_numpy()
+        # materialization, then a plain-python pass over the object
+        # array.
         idxs = np.nonzero(m)[0]
+        xs_np = xs.to_numpy()
+        ys_np = ys.to_numpy()
         groups: dict = {}
+        setd = groups.setdefault
         for i in idxs:
-            vx = xs.iloc[i]
-            key = (len(vx), vx[0], vx[-1], ys.iloc[i][0])
-            groups.setdefault(key, []).append(i)
+            vx = xs_np[i]
+            setd((len(vx), vx[0], vx[-1], ys_np[i][0]), []).append(i)
         for rows in groups.values():
             i0 = rows[0]
-            vx = np.asarray(xs.iloc[i0], dtype=np.float64)
-            vy = np.asarray(ys.iloc[i0], dtype=np.float64)
+            vx = np.asarray(xs_np[i0], dtype=np.float64)
+            vy = np.asarray(ys_np[i0], dtype=np.float64)
             ro = np.asarray(ring_offsets.iloc[i0], dtype=np.int64)
             rows = np.asarray(rows)
             hit = points_in_polygon(pxv[rows], pyv[rows], vx, vy, ro)
