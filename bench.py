@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # 2M docs keeps the per-round driver bench short and comparable
+    # with rounds 1-2; the flagship number here is overhead-bound and
+    # UNDERSTATES steady-state throughput — bench_scaling.py (32M docs,
+    # warmups + min-of-3) is the authoritative docs/sec measurement
+    # (BENCH.md: 1.05M docs/s at local[8], 1.5-4.1M at local[16]
+    # depending on hypervisor window).
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 
     from pyspark.sql import functions as F
