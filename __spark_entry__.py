@@ -80,8 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_integrity": c.q_span_integrity,
         # --- training-data ops: dedup ---
         "dedup_exact": c.q_dedup_exact,
+        # minhash banding's pair SET is verified inside ngram_jaccard
+        # (jaccard is computed ON exactly those pairs) and feeds
+        # dedup_clusters' components
         "ngram_jaccard": c.q_ngram_jaccard,
-        "minhash_lsh_pairs": c.q_minhash_lsh_pairs,
+        "dedup_clusters": c.q_dedup_clusters,
         # --- training-data ops: text analysis (wide-merged) ---
         "doc_signatures": c.q_doc_signatures,
         "text_metrics": c.q_text_metrics,
@@ -144,7 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "span_integrity": c.ORACLE_SPAN,
         "dedup_exact": c.ORACLE_DEDUP_EXACT,
         "ngram_jaccard": c.ORACLE_NGRAM_LSH,
-        "minhash_lsh_pairs": c.ORACLE_MINHASH_LSH,
+        "dedup_clusters": c.ORACLE_DEDUP_CLUSTERS,
         "doc_signatures": c.ORACLE_DOC_SIGNATURES,
         "text_metrics": c.ORACLE_TEXT_METRICS,
         "embed_knn": c.ORACLE_EMBED_KNN,

@@ -88,7 +88,7 @@ def main() -> None:
         "cell_sets", "circle_rect_relate", "polygon_rect_relate",
         "extent_collection", "st_area_ranges",
         "line_contains_join", "buffer_shapes", "dedup_exact",
-        "minhash_lsh_pairs", "embed_knn", "embed_neardup",
+        "ngram_jaccard", "dedup_clusters", "embed_knn", "embed_neardup",
         "embed_neardup_banded", "zonal_stats", "multimodal_features",
         "span_integrity",
         "legacy_roundtrip", "normalize_units",

@@ -2740,3 +2740,29 @@ SELECT media_ref,
        CASE WHEN kind = 2 THEN CAST((c + 1) // 2 AS INT) END AS frames
 FROM st
 """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs -> distributed
+    connected components (operators/components.py); every doc carries
+    its cluster's canonical (min) doc id. Iterative algorithm — the
+    oracle reproduces it with a recursive label-propagation CTE."""
+    from .operators.dedup import dedup_clusters
+    return dedup_clusters(_load(spark, sf_dir, "documents"),
+                          n_hashes=16, bands=4, shingle_n=2)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""

@@ -206,3 +206,20 @@ def embedding_neardup_banded(embeddings: DataFrame, id_col: str = "vec_id",
     return (pairs.withColumn("cosine", cos)
                  .where(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r")))
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                   text: str = "text", n_hashes: int = 16, bands: int = 4,
+                   shingle_n: int = 2) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidate pairs -> connected components.
+
+    The production MinHash-dedup tail: every doc gets a cluster_id
+    (= min doc id of its component; singletons label themselves), so a
+    downstream `where(doc_id == cluster_id)` keeps one canonical doc
+    per near-dup group."""
+    from .components import connected_components
+    pairs = minhash_lsh_pairs(df, id_col, text, n_hashes, bands, shingle_n)
+    cc = connected_components(pairs, "doc_a", "doc_b",
+                              vertices=df.select(id_col))
+    return cc.select(F.col("node").alias(id_col),
+                     F.col("label").alias("cluster_id"))
