@@ -41,7 +41,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     so max_iter bounds the component diameter this call can handle.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the symmetrized edge list ONCE: it is re-joined every
+    # round (and by the convergence probe), and the upstream edge
+    # derivation can be an expensive pipeline (e.g. the MinHash-LSH
+    # self-join feeding dedup_clusters)
+    sym = (und.union(und.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .localCheckpoint())
     nodes = sym.select(F.col("a").alias("node")).distinct()
     if vertices is not None:
         vcol = vertices.columns[0]
