@@ -634,6 +634,9 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
     if ln.any():
         r0 = radius.to_numpy(dtype=np.float64, na_value=np.nan)
         for i in np.nonzero(ln)[0]:
+            if xs.iloc[i] is None or ys.iloc[i] is None:
+                err[i] = "st_buffer: line without vertex arrays"
+                continue
             vx = np.asarray(xs.iloc[i], dtype=np.float64)
             vy = np.asarray(ys.iloc[i], dtype=np.float64)
             if vx.size == 0:
