@@ -205,3 +205,23 @@ def test_spark_st_from_wkt_configured(spark):
         "s", SF.st_from_wkt(F.col("w"), validation_rule="repairBuffer0")
     ).select("s.*").collect()[0]
     assert repaired["error"] is None and len(repaired["xs"]) >= 8
+
+
+def test_multipolygon_member_validation_and_repair():
+    """Validation/repair applies per MULTIPOLYGON member (the reference
+    runs MakeShapeFromGeometry per parsed part)."""
+    bad_mp = ("MULTIPOLYGON(((0 0, 4 0, 2 3, 0 0)),"
+              "((10 0, 20 0, 20 20, 15 -5, 10 20, 10 0)))")
+    with pytest.raises(wkt.WktParseError):
+        P(bad_mp)
+    ok = P(bad_mp, validation_rule="none")
+    assert ok["kind"] == wkt.KIND_MULTIPOLYGON
+    rep = P(bad_mp, validation_rule="repairBuffer0")
+    assert rep["kind"] == wkt.KIND_MULTIPOLYGON
+    # first member intact (4 coords) + second planarized into lobes
+    assert len(rep["ring_offsets"]) - 1 >= 3
+    for a, b in zip(rep["ring_offsets"][:-1], rep["ring_offsets"][1:]):
+        ring = list(zip(rep["xs"][a:b], rep["ys"][a:b]))
+        assert wkt._ring_invalid_reason(ring) is None
+    hull = P(bad_mp, validation_rule="repairConvexHull")
+    assert _area2(hull) > 0
