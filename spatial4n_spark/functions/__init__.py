@@ -512,6 +512,55 @@ def st_cover_codes_col(minx, maxx, miny, maxy, precision: int):
                                                                  precision))))
 
 
+@pandas_udf(ArrayType(LongType()))
+def _st_cover_codes_adaptive_udf(minx: pd.Series, maxx: pd.Series,
+                                 miny: pd.Series, maxy: pd.Series,
+                                 min_level: pd.Series, max_level: pd.Series,
+                                 cells_budget: pd.Series) -> pd.Series:
+    lo, hi = int(min_level.iloc[0]), int(max_level.iloc[0])
+    budget = int(cells_budget.iloc[0])
+    return pd.Series(_gh.cover_codes_bbox_adaptive_batch(
+        minx.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+        miny.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxy.to_numpy(dtype=np.float64, na_value=np.nan), lo, hi, budget))
+
+
+def st_cover_codes_adaptive(minx, maxx, miny, maxy,
+                            min_level: int, max_level: int,
+                            cells_budget: int = 4):
+    """Level-TAGGED cover codes at each bbox's own adaptive level (the
+    finest level in the band whose EXACT cover count fits
+    `cells_budget`; oversized bboxes fall back to a min_level grid
+    range). Join keys are (code << 4) | level — disjoint across levels.
+    The multi-level spatial-index shape side (batch Arrow kernel,
+    kernels/geohash.cover_codes_bbox_adaptive_batch)."""
+    return _st_cover_codes_adaptive_udf(minx, maxx, miny, maxy,
+                                        F.lit(min_level), F.lit(max_level),
+                                        F.lit(cells_budget))
+
+
+def st_cell_codes_for_levels_col(lat, lon, levels):
+    """Array of level-tagged cell codes of a point at each level in
+    `levels` — the point side of the adaptive multi-level join, as a
+    PURE Column expression (one Morton tree per level, all inside
+    whole-stage codegen; zero Arrow exchange). Pass only the levels the
+    shape side actually uses (plan-time pruning) to cut the point-side
+    fan-out."""
+    tag_bits = _gh.LEVEL_TAG_BITS
+    return F.array(*[
+        F.shiftleft(st_cell_code_col(lat, lon, lv), tag_bits)
+         .bitwiseOR(F.lit(lv)).cast("long")
+        for lv in levels])
+
+
+def st_cell_codes_multilevel_col(lat, lon, min_level: int, max_level: int):
+    """st_cell_codes_for_levels_col over the full [min_level, max_level]
+    band."""
+    return st_cell_codes_for_levels_col(lat, lon,
+                                        range(min_level, max_level + 1))
+
+
 @pandas_udf(ByteType())
 def st_relate_polygon_circle(xs: pd.Series, ys: pd.Series,
                              ring_offsets: pd.Series,

@@ -57,10 +57,17 @@ def with_shape_cover(shapes: DataFrame, shape_col: str = "shape",
     else:
         cells = SF.st_cover_cells(s["minx"], s["maxx"],
                                   s["miny"], s["maxy"], precision)
+    # explode_outer + null-filter on the OUTPUT column, not explode:
+    # plain explode triggers InferFiltersFromGenerate, whose
+    # size(__cells)>0 pre-filter extracts a SECOND ArrowEvalPython node
+    # evaluating the cover UDF twice per row (observed in the physical
+    # plan). Outer generates are exempt from the rule; empty/null covers
+    # drop in the null-filter instead — identical output, one UDF pass.
     return (shapes
             .withColumn("__cells", cells)
-            .withColumn(cover_col, F.explode("__cells"))
-            .drop("__cells"))
+            .withColumn(cover_col, F.explode_outer("__cells"))
+            .drop("__cells")
+            .where(F.col(cover_col).isNotNull()))
 
 
 def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
@@ -90,9 +97,28 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     # semi/anti also join inner first: the refine must run before the
     # semi/anti projection, then project distinct point keys below.
     joined = pts.join(cover, join_cond, "inner")
+    refined = _gate_and_refine(joined, shape_col, point_x, point_y,
+                               plan.shape_kinds)
+    refined = refined.drop("cover_cell", "__salt")
+    return _project_how(refined, points, how)
+
+
+def _gate_and_refine(joined: DataFrame, shape_col: str,
+                     point_x: str, point_y: str,
+                     shape_kinds: tuple | None) -> DataFrame:
+    """Shared tail of the point-in-shape joins: cheap vectorized bbox
+    gate before the exact kernel (JVM-side, whole-stage codegen;
+    dateline-aware via the +-360 shift), then the exact relate refine.
+
+    Rect-only build side: the bbox gate IS the exact dateline-aware
+    closed-rect containment (RectangleImpl.cs:176-209) — same
+    comparisons, boundaries-in — so the Python refine is a no-op filter
+    and is skipped; the join is then 100% JVM codegen downstream of the
+    WKT parse. Otherwise: single UDF instance in the Filter
+    (withColumn+where would make Catalyst evaluate the kernel twice);
+    relation is CONTAINS by construction.
+    """
     s = F.col(shape_col)
-    # cheap vectorized bbox gate before the exact kernel (JVM-side,
-    # whole-stage codegen; dateline-aware via the +-360 shift)
     px, py = F.col(point_x), F.col(point_y)
     px_shift = F.when(px < s["minx"], px + 360.0).otherwise(
         F.when(px > F.when(s["maxx"] < s["minx"], s["maxx"] + 360.0).otherwise(s["maxx"]),
@@ -100,31 +126,106 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     maxx_u = F.when(s["maxx"] < s["minx"], s["maxx"] + 360.0).otherwise(s["maxx"])
     bbox_ok = (py >= s["miny"]) & (py <= s["maxy"]) & \
               (px_shift >= s["minx"]) & (px_shift <= maxx_u)
-    # Rect-only build side: the bbox gate above IS the exact
-    # dateline-aware closed-rect containment (RectangleImpl.cs:176-209)
-    # — same comparisons, boundaries-in — so the Python refine is a
-    # no-op filter and is skipped; the join is then 100% JVM codegen
-    # downstream of the WKT parse. Otherwise: single UDF instance in
-    # the Filter (withColumn+where would make Catalyst evaluate the
-    # kernel twice); relation is CONTAINS by construction.
     gated = joined.where(bbox_ok)
-    kinds = plan.shape_kinds
-    if kinds is not None and set(kinds) <= {2}:  # KIND_RECT only
-        refined = gated.withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint"))
-    else:
-        refined = (gated
-                   .where(SF.st_relate_shape_point(s, px, py) == REL.CONTAINS)
-                   .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
-    refined = refined.drop("cover_cell", "__salt")
+    if shape_kinds is not None and set(shape_kinds) <= {2}:  # KIND_RECT only
+        return gated.withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint"))
+    return (gated
+            .where(SF.st_relate_shape_point(s, px, py) == REL.CONTAINS)
+            .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
+
+
+def _project_how(refined: DataFrame, points: DataFrame, how: str) -> DataFrame:
     if how == "inner":
         return refined
-    key_cols = [points[c] for c in points.columns]
     hits = refined.select(*[F.col(c) for c in points.columns]).distinct()
     if how == "leftsemi":
         return points.join(hits, on=points.columns, how="leftsemi")
     if how == "leftanti":
         return points.join(hits, on=points.columns, how="leftanti")
     raise ValueError(how)
+
+
+def point_in_shape_join_adaptive(points: DataFrame, shapes: DataFrame,
+                                 min_level: int = 3, max_level: int = 7,
+                                 cells_budget: int = 4,
+                                 levels: list | None = None,
+                                 point_x: str = "x", point_y: str = "y",
+                                 shape_col: str = "shape",
+                                 broadcast_shapes: bool = True,
+                                 salt: int | None = None,
+                                 shape_kinds: tuple | None = None,
+                                 how: str = "inner") -> DataFrame:
+    """Multi-level (adaptive) point-in-shape join.
+
+    The fixed-level join degrades when shape sizes span orders of
+    magnitude (one admin layer holding Russia AND Monaco): a fine level
+    explodes big shapes into thousands of cover cells; a coarse level
+    drowns small shapes in false candidates. Here every shape is keyed
+    at ITS OWN level — the finest level in [min_level, max_level] whose
+    exact cover count fits `cells_budget` — so each cover set is
+    bounded by the budget (oversized shapes fall back to a min_level
+    grid range). The level is tagged into the int64 join key's low bits
+    (kernels/geohash.tag_level), keeping keys from different levels
+    disjoint in ONE equi-join.
+
+    Point side: an array of level-tagged codes, one per ACTIVE level,
+    built as a pure Column expression (whole-stage codegen) and
+    exploded. `levels` prunes the band to the levels the shape side
+    actually uses: pass it explicitly when known, else it is derived
+    with one tiny aggregation over the shape side (the small side of
+    the join — at 10^6 shapes that's a sub-second job; the 10^12-point
+    side is never touched). A (point, shape) pair still meets at most
+    once: the shape has ONE level and the point has ONE cell at that
+    level.
+
+    Scale story at 10^12 points x 10^6 mixed-size shapes: shape side
+    stays <= cells_budget rows/shape (vs 4096-cell caps or skew salting
+    at a forced fine level); the point side's xL fan-out happens inside
+    the scan projection — no extra shuffle when broadcasting, and the
+    shuffle key (tagged cell) spreads hot regions across the finer
+    levels. `salt` handles residual hot cells on the shuffle path, same
+    scheme as point_in_shape_join.
+    """
+    s = F.col(shape_col)
+    cover = (shapes.withColumn("__cells", SF.st_cover_codes_adaptive(
+                 s["minx"], s["maxx"], s["miny"], s["maxy"],
+                 min_level, max_level, cells_budget))
+                   .withColumn("cover_cell", F.explode_outer("__cells"))
+                   .drop("__cells")
+                   .where(F.col("cover_cell").isNotNull()))
+    if levels is None:
+        # plan-time pruning: distinct levels present on the (small)
+        # shape side — the level tag is the key's low 4 bits
+        from ..kernels.geohash import LEVEL_TAG_BITS
+        mask = (1 << LEVEL_TAG_BITS) - 1
+        levels = sorted(
+            r[0] for r in cover.select(
+                F.col("cover_cell").bitwiseAND(F.lit(mask)).alias("lv"))
+            .distinct().collect())
+        if not levels:
+            levels = [min_level]
+    pts = (points.withColumn("__mlcells", SF.st_cell_codes_for_levels_col(
+               F.col(point_y), F.col(point_x), levels))
+                 .withColumn("cell_id", F.explode_outer("__mlcells"))
+                 .drop("__mlcells"))
+    if broadcast_shapes:
+        cover = F.broadcast(cover)
+        join_cond = pts["cell_id"] == cover["cover_cell"]
+    elif salt:
+        cover = cover.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        pts = pts.withColumn(
+            "__salt", F.pmod(F.hash(F.col(point_x), F.col(point_y)),
+                             F.lit(salt)))
+        join_cond = ((pts["cell_id"] == cover["cover_cell"])
+                     & (pts["__salt"] == cover["__salt"]))
+    else:
+        join_cond = pts["cell_id"] == cover["cover_cell"]
+    joined = pts.join(cover, join_cond, "inner")
+    refined = _gate_and_refine(joined, shape_col, point_x, point_y,
+                               shape_kinds)
+    refined = refined.drop("cover_cell", "cell_id", "__salt")
+    return _project_how(refined, points, how)
 
 
 def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Column,
@@ -146,8 +247,9 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Col
     q = (q.withColumn("__cells", SF.st_cover_codes(
             F.col("__box.minx"), F.col("__box.maxx"),
             F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
-          .withColumn("cover_cell", F.explode("__cells"))
-          .drop("__cells", "__box"))
+          .withColumn("cover_cell", F.explode_outer("__cells"))
+          .drop("__cells", "__box")
+          .where(F.col("cover_cell").isNotNull()))
     pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
     if plan.broadcast_shapes:
         q = F.broadcast(q)
@@ -171,8 +273,9 @@ def _knn_core(points: DataFrame, queries: DataFrame, k: int,
     q = (q.withColumn("__cells", SF.st_cover_codes(
             F.col("__box.minx"), F.col("__box.maxx"),
             F.col("__box.miny"), F.col("__box.maxy"), plan.precision))
-          .withColumn("cover_cell", F.explode("__cells"))
-          .drop("__cells", "__box"))
+          .withColumn("cover_cell", F.explode_outer("__cells"))
+          .drop("__cells", "__box")
+          .where(F.col("cover_cell").isNotNull()))
     pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
     if plan.broadcast_shapes:
         q = F.broadcast(q)
@@ -305,12 +408,14 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
               .withColumn("__lti0", SF.st_axis_idx_col(ls["miny"], "lat", precision))
               .withColumn("__cells", SF.st_cover_codes(
                   ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
-              .withColumn("__cell", F.explode("__cells")).drop("__cells"))
+              .withColumn("__cell", F.explode_outer("__cells")).drop("__cells")
+              .where(F.col("__cell").isNotNull()))
     rc = (right.withColumn("__rli0", SF.st_axis_idx_col(rs["minx"], "lon", precision))
                .withColumn("__rti0", SF.st_axis_idx_col(rs["miny"], "lat", precision))
                .withColumn("__cells", SF.st_cover_codes(
                    rs["minx"], rs["maxx"], rs["miny"], rs["maxy"], precision))
-               .withColumn("__cell", F.explode("__cells")).drop("__cells"))
+               .withColumn("__cell", F.explode_outer("__cells")).drop("__cells")
+              .where(F.col("__cell").isNotNull()))
     if broadcast_right:
         rc = F.broadcast(rc)
         j = lc.join(rc, "__cell", "inner")

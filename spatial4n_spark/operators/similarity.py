@@ -149,9 +149,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([seed_ids[row].tolist() for row in order])
 
+    # explode_outer: plain explode's inferred size()>0 pre-filter
+    # would extract a second ArrowEvalPython running _probe twice
     qp = (queries.withColumn("__probes", _probe(F.col(q_emb)))
-                 .withColumn("centroid_id", F.explode("__probes"))
-                 .drop("__probes"))
+                 .withColumn("centroid_id", F.explode_outer("__probes"))
+                 .drop("__probes")
+                 .where(F.col("centroid_id").isNotNull()))
     cand = assigned.join(F.broadcast(qp), "centroid_id", "inner") \
                    .where(F.col(id_col) != F.col(q_id))
     cos = F.expr(cosine_expr(emb, q_emb))

@@ -104,8 +104,9 @@ def zonal_stats(pixels: DataFrame, zones: DataFrame,
     zc = (zones
           .withColumn("__cells", SF.st_cover_codes(
               F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"), precision))
-          .withColumn("__cell", F.explode("__cells"))
-          .drop("__cells"))
+          .withColumn("__cell", F.explode_outer("__cells"))
+          .drop("__cells")
+          .where(F.col("__cell").isNotNull()))
     j = (px.join(F.broadcast(zc), "__cell", "inner")
            .where((F.col("px_lon") >= F.col("minx")) & (F.col("px_lon") <= F.col("maxx"))
                   & (F.col("px_lat") >= F.col("miny")) & (F.col("px_lat") <= F.col("maxy"))))
