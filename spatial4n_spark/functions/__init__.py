@@ -897,6 +897,47 @@ def st_from_binary(blobs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+_SIMPLIFY_SCHEMA = StructType([
+    StructField("xs", ArrayType(DoubleType())),
+    StructField("ys", ArrayType(DoubleType())),
+    StructField("ring_offsets", ArrayType(IntegerType())),
+])
+
+
+@pandas_udf(_SIMPLIFY_SCHEMA)
+def _st_simplify_udf(xs: pd.Series, ys: pd.Series, ring_offsets: pd.Series,
+                     tolerance: pd.Series) -> pd.DataFrame:
+    from ..kernels import simplify as _simp
+    tol = float(tolerance.iloc[0])
+    out_x, out_y, out_o = [], [], []
+    for i in range(len(xs)):
+        vx = xs.iloc[i]
+        if vx is None or (hasattr(vx, "__len__") and len(vx) == 0):
+            out_x.append(vx)
+            out_y.append(ys.iloc[i])
+            out_o.append(ring_offsets.iloc[i])
+            continue
+        sx, sy, so = _simp.simplify_polygon(
+            np.asarray(vx, dtype=np.float64),
+            np.asarray(ys.iloc[i], dtype=np.float64),
+            np.asarray(ring_offsets.iloc[i], dtype=np.int64), tol)
+        out_x.append(sx.tolist())
+        out_y.append(sy.tolist())
+        out_o.append([int(v) for v in so])
+    return pd.DataFrame({"xs": out_x, "ys": out_y, "ring_offsets": out_o})
+
+
+def st_simplify(xs, ys, ring_offsets, tolerance: float):
+    """Douglas-Peucker simplification of polygon vertex arrays
+    (kernels/simplify.py): per-ring, part structure preserved, every
+    dropped vertex within `tolerance` (degrees) of the simplified
+    chain. Engine-added scale operator — pre-shrink the build side of
+    shape_shape_join when exact-to-tolerance semantics suffice: refine
+    cost is O(vertices), and a coastline polygon at tolerance = one
+    cell width keeps the same cover cells with 100x fewer vertices."""
+    return _st_simplify_udf(xs, ys, ring_offsets, F.lit(float(tolerance)))
+
+
 def register_sql_functions(spark, prefix: str = "") -> list:
     """Register the Arrow-batched st_* UDFs for Spark SQL text queries
     (`spark.udf.register` surface — the SURVEY §2.6 extensibility row).
@@ -912,6 +953,7 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_relate_polygon_polygon": st_relate_polygon_polygon,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,
+        "st_simplify": _st_simplify_udf,
     }
     names = []
     for name, fn in udfs.items():
