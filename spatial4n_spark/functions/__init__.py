@@ -540,6 +540,33 @@ def st_cover_codes_adaptive(minx, maxx, miny, maxy,
                                         F.lit(cells_budget))
 
 
+@pandas_udf(ArrayType(LongType()))
+def _st_cover_pyramid_udf(minx: pd.Series, maxx: pd.Series,
+                          miny: pd.Series, maxy: pd.Series,
+                          min_level: pd.Series, max_level: pd.Series,
+                          cells_budget: pd.Series) -> pd.Series:
+    lo, hi = int(min_level.iloc[0]), int(max_level.iloc[0])
+    budget = int(cells_budget.iloc[0])
+    return pd.Series(_gh.cover_pyramid_batch(
+        minx.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+        miny.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxy.to_numpy(dtype=np.float64, na_value=np.nan), lo, hi, budget))
+
+
+def st_cover_pyramid(minx, maxx, miny, maxy,
+                     min_level: int, max_level: int,
+                     cells_budget: int = 4):
+    """Multi-level tagged cover pyramid of a bbox: own adaptive-level
+    cover first (element 0's tag IS the shape's level), then the exact
+    cover at every coarser level down to min_level (prefix-shift
+    derived). The two-sided adaptive join's shape emission — bounded
+    per row by cells_budget + 4x(levels below own)."""
+    return _st_cover_pyramid_udf(minx, maxx, miny, maxy,
+                                 F.lit(min_level), F.lit(max_level),
+                                 F.lit(cells_budget))
+
+
 def st_cell_codes_for_levels_col(lat, lon, levels):
     """Array of level-tagged cell codes of a point at each level in
     `levels` — the point side of the adaptive multi-level join, as a

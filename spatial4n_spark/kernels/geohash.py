@@ -438,3 +438,47 @@ def cover_codes_bbox_adaptive_batch(minx, maxx, miny, maxy,
         for j, i in enumerate(idx):
             out[i] = [(c << LEVEL_TAG_BITS) | shift for c in covers[j]]
     return out
+
+
+def cover_pyramid_batch(minx, maxx, miny, maxy,
+                        min_level: int, max_level: int,
+                        cells_budget: int = 4) -> list:
+    """Multi-level cover pyramid, one list of TAGGED codes per row:
+    the adaptive own-level cover FIRST (contract: element 0's tag is
+    the shape's own level), then the distinct cover at every coarser
+    level down to min_level.
+
+    The coarser sets are exact covers, derived for free from the
+    prefix property: a level-L code right-shifted by 5*(L-Lc) IS its
+    level-Lc ancestor, and the ancestor set of a grid-range cover is
+    the grid-range cover at the coarser level. Total emission per row
+    is bounded by cells_budget + 4*(levels below own) regardless of
+    the shape's size — the two-sided adaptive join's shape emission
+    (each pair of shapes meets at level min(L_left, L_right), where
+    both pyramids contain their full bbox cover). Shapes too big even
+    for min_level are clamped there and emit the exact min_level
+    cover — bounded by the min_level grid (32 cells at level 1).
+    """
+    assert 1 <= min_level <= max_level <= 11, (min_level, max_level)
+    minx = np.asarray(minx, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    n = len(minx)
+    out: list = [[]] * n
+    ok = ~np.isnan(minx)
+    lvls = adaptive_level_for_bbox(minx, maxx, miny, maxy,
+                                   min_level, max_level, cells_budget)
+    for lv in np.unique(lvls[ok]):
+        idx = np.nonzero(ok & (lvls == lv))[0]
+        covers = cover_codes_bbox_batch(minx[idx], maxx[idx],
+                                        miny[idx], maxy[idx], int(lv))
+        own = int(lv)
+        for j, i in enumerate(idx):
+            codes = np.asarray(covers[j], dtype=np.int64)
+            pyramid = list(((codes << LEVEL_TAG_BITS) | own))
+            for lc in range(own - 1, min_level - 1, -1):
+                anc = np.unique(codes >> (5 * (own - lc)))
+                pyramid.extend(((anc << LEVEL_TAG_BITS) | lc).tolist())
+            out[i] = [int(c) for c in pyramid]
+    return out

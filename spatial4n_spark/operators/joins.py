@@ -440,6 +440,12 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     gated = (j.where(bbox_ok & (F.col("__cell") == ref_cell))
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0"))
 
+    return _apply_shape_predicate(gated, ls, rs, predicate)
+
+
+def _apply_shape_predicate(gated: DataFrame, ls, rs, predicate: str) -> DataFrame:
+    """Exact polygon-polygon refine + predicate filter shared by the
+    fixed-level and adaptive two-layer joins."""
     rel = SF.st_relate_polygon_polygon(
         ls["xs"], ls["ys"], ls["ring_offsets"],
         rs["xs"], rs["ys"], rs["ring_offsets"])
@@ -454,3 +460,99 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     else:
         raise ValueError(predicate)
     return gated.where(cond)
+
+
+def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
+                              min_level: int = 2, max_level: int = 7,
+                              cells_budget: int = 4,
+                              left_shape: str = "lshape",
+                              right_shape: str = "rshape",
+                              broadcast_right: bool = True,
+                              predicate: str = "intersects",
+                              salt: int | None = None) -> DataFrame:
+    """Two-sided adaptive (multi-level) shape x shape join.
+
+    Both layers can mix Monaco-size and Russia-size shapes: each shape
+    is keyed at ITS OWN level (finest level whose exact cover count
+    fits cells_budget) and emits its level-tagged cover PYRAMID — the
+    own-level cover plus the exact cover at every coarser level down
+    to min_level, derived for free from the geohash prefix property
+    (ancestor code == code >> 5*dL). Emission per shape is bounded by
+    cells_budget + 4 x (own_level - min_level) whatever the size
+    distribution — the fixed-level join's 4096-cell blowup on big
+    shapes cannot happen.
+
+    A pair (L_l, L_r) meets at level m = min(L_l, L_r): both pyramids
+    contain the full bbox cover at m (a pyramid level IS the exact
+    cover at that level), so overlapping bboxes share >= 1 key there.
+    Dedup is the reference-point rule evaluated AT m: the match is
+    kept only in the level-m cell containing (greatest(minx),
+    greatest(miny)) of the two bboxes. That cell holds the reference
+    point, which lies in both bboxes' covers at m, and exactly one
+    level-m cell contains it — uniqueness without any dedup shuffle.
+    Matches at levels below m fail the reference filter (its tag is m).
+
+    The reference cell is rebuilt per level from per-side axis indices
+    precomputed ONCE at max_level: an index at level L is the
+    max_level index right-shifted by the bit difference (the same
+    prefix property), so the post-join filter is a small CASE over
+    plain int columns — compiled codegen, no Janino blowup (VERDICT
+    r02 item 2 pattern).
+
+    Assumes page-split (non-dateline-crossing) bboxes, as produced by
+    the WKT parser. `salt`/broadcast semantics match shape_shape_join.
+    """
+    from ..kernels.geohash import LEVEL_TAG_BITS
+
+    ls, rs = F.col(left_shape), F.col(right_shape)
+    mask = (1 << LEVEL_TAG_BITS) - 1
+    max_lon_bits = (max_level * 5 + 1) // 2
+    max_lat_bits = (max_level * 5) // 2
+
+    def side(df, shape, li, ti, lvl):
+        s = F.col(shape)
+        return (df.withColumn(li, SF.st_axis_idx_col(s["minx"], "lon", max_level))
+                  .withColumn(ti, SF.st_axis_idx_col(s["miny"], "lat", max_level))
+                  .withColumn("__cells", SF.st_cover_pyramid(
+                      s["minx"], s["maxx"], s["miny"], s["maxy"],
+                      min_level, max_level, cells_budget))
+                  .withColumn(lvl, F.element_at("__cells", 1)
+                              .bitwiseAND(F.lit(mask)))
+                  .withColumn("__cell", F.explode_outer("__cells"))
+                  .drop("__cells")
+                  .where(F.col("__cell").isNotNull()))
+
+    lc = side(left, left_shape, "__lli0", "__lti0", "__llvl")
+    rc = side(right, right_shape, "__rli0", "__rti0", "__rlvl")
+    if broadcast_right:
+        rc = F.broadcast(rc)
+        j = lc.join(rc, "__cell", "inner")
+    elif salt:
+        lc = lc.withColumn("__salt", F.pmod(
+            F.hash(*[lc[c] for c in left.columns if c != left_shape]),
+            F.lit(salt)))
+        rc = rc.withColumn("__salt", F.explode(
+            F.array(*[F.lit(i) for i in range(salt)])))
+        j = lc.join(rc, ["__cell", "__salt"], "inner").drop("__salt")
+    else:
+        j = lc.join(rc, "__cell", "inner")
+
+    bbox_ok = ((ls["minx"] <= rs["maxx"]) & (ls["maxx"] >= rs["minx"])
+               & (ls["miny"] <= rs["maxy"]) & (ls["maxy"] >= rs["miny"]))
+    m = F.least(F.col("__llvl"), F.col("__rlvl"))
+    g_lon = F.greatest(F.col("__lli0"), F.col("__rli0"))
+    g_lat = F.greatest(F.col("__lti0"), F.col("__rti0"))
+    ref = None
+    for lv in range(min_level, max_level + 1):
+        lon_sh = max_lon_bits - ((lv * 5 + 1) // 2)
+        lat_sh = max_lat_bits - ((lv * 5) // 2)
+        code = SF.st_morton_col(F.shiftright(g_lon, lon_sh),
+                                F.shiftright(g_lat, lat_sh), lv)
+        tagged = (F.shiftleft(code, LEVEL_TAG_BITS)
+                   .bitwiseOR(F.lit(lv)).cast("long"))
+        ref = (F.when(m == lv, tagged) if ref is None
+               else ref.when(m == lv, tagged))
+    gated = (j.where(bbox_ok & (F.col("__cell") == ref))
+              .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0",
+                    "__llvl", "__rlvl"))
+    return _apply_shape_predicate(gated, ls, rs, predicate)
