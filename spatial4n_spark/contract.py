@@ -1002,21 +1002,41 @@ _RDEG = "(1.0/(pi()/180.0))"     # sphere radius in degrees, same ops as kernel
 _D2R = "(pi()/180.0)"
 
 
+def _norm_lon_sql(v: str) -> str:
+    """Mirror of kernels.normalize.norm_lon_deg (same CASE as ORACLE_NORM)."""
+    off = f"(((({v}) + 180.0) % 360.0) + 360.0) % 360.0"
+    return (f"(CASE WHEN ({v}) >= -180.0 AND ({v}) <= 180.0 THEN ({v}) "
+            f"WHEN ({off}) = 0 AND ({v}) > 0 THEN 180.0 "
+            f"ELSE -180.0 + ({off}) END)")
+
+
 def q_st_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical rect + circle-cap areas (deg^2) per supplier.
+    """Spherical rect + circle-cap areas (deg^2) per supplier, plus the
+    rect's GetCenter point.
 
     Rect: GeodesicSphereDistCalc.cs:58-66 (dateline-aware width);
-    circle cap: :68-73. Rounded for cross-libm comparison."""
+    circle cap: :68-73; center: RectangleImpl.cs:304-315 (dateline-
+    aware midpoint via st_center). Rounded for cross-libm comparison."""
     from . import functions as SF
     r = supplier_rects(spark, sf_dir)
     c = supplier_circles(spark, sf_dir)
     j = r.join(c, r["srect_id"] == c["circle_id"], "inner")
+    nul_d = F.lit(None).cast("double")
+    nul_a = F.lit(None).cast("array<double>")
+    ctr = SF.st_center(
+        F.lit(2).cast("tinyint"), nul_d, nul_d,
+        F.col("sminx"), F.col("smaxx"), F.col("sminy"), F.col("smaxy"),
+        nul_a, nul_a, F.lit(None).cast("array<int>"))
     return j.select(
         F.col("circle_id").alias("s_suppkey"),
         F.round(SF.st_rect_area_geo(F.col("sminx"), F.col("smaxx"),
                                     F.col("sminy"), F.col("smaxy")), 4).alias("rect_area"),
-        F.round(SF.st_circle_area_geo(F.col("r")), 4).alias("circle_area"))
+        F.round(SF.st_circle_area_geo(F.col("r")), 4).alias("circle_area"),
+        F.round(ctr.getField("x"), 6).alias("ctr_x"),
+        F.round(ctr.getField("y"), 6).alias("ctr_y"))
 
+
+_CTR_X_WRAP = "(sminx + ((smaxx - sminx) + 360.0) / 2.0)"
 
 ORACLE_AREA = f"""
 WITH {_CTE_SRECTS}, {_CTE_CIRCLES},
@@ -1024,16 +1044,20 @@ w AS (
   SELECT circle_id AS s_suppkey,
          (CASE WHEN (smaxx - sminx) < 0 THEN (smaxx - sminx) + 360.0
                ELSE (smaxx - sminx) END) AS width,
-         sminy, smaxy, r
+         sminx, smaxx, sminy, smaxy, r
   FROM srects JOIN circles ON srect_id = circle_id
 )
 SELECT s_suppkey,
        round({_D2R} * {_RDEG} * {_RDEG}
              * abs(sin(sminy * {_D2R}) - sin(smaxy * {_D2R})) * width, 4) AS rect_area,
        round(2.0 * pi() * {_RDEG} * {_RDEG}
-             * (1.0 - sin((90.0 - r) * {_D2R})), 4) AS circle_area
+             * (1.0 - sin((90.0 - r) * {_D2R})), 4) AS circle_area,
+       round(CASE WHEN (smaxx - sminx) < 0
+                  THEN {{NORM_WRAP}}
+                  ELSE sminx + (smaxx - sminx) / 2.0 END, 6) AS ctr_x,
+       round(sminy + (smaxy - sminy) / 2.0, 6) AS ctr_y
 FROM w
-"""
+""".replace("{NORM_WRAP}", _norm_lon_sql(_CTR_X_WRAP))
 
 
 _BDIST = "(cast(1.0 as double) + (c_custkey * 7) % 80)"
@@ -2374,7 +2398,8 @@ def q_st_area_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ST_AREA_RANGES = f"""
-SELECT a.s_suppkey, a.rect_area, a.circle_area, b.xrel, b.yrel
+SELECT a.s_suppkey, a.rect_area, a.circle_area, a.ctr_x, a.ctr_y,
+       b.xrel, b.yrel
 FROM ({ORACLE_AREA}) a JOIN ({ORACLE_XY_RANGE}) b ON a.s_suppkey = b.srect_id
 """
 
@@ -2385,14 +2410,6 @@ FROM ({ORACLE_AREA}) a JOIN ({ORACLE_XY_RANGE}) b ON a.s_suppkey = b.srect_id
 # ---------------------------------------------------------------------------
 
 _BUFD = "(cast(0.37 as double) + (s_suppkey % 89) * cast(0.53 as double))"
-
-
-def _norm_lon_sql(v: str) -> str:
-    """Mirror of kernels.normalize.norm_lon_deg (same CASE as ORACLE_NORM)."""
-    off = f"(((({v}) + 180.0) % 360.0) + 360.0) % 360.0"
-    return (f"(CASE WHEN ({v}) >= -180.0 AND ({v}) <= 180.0 THEN ({v}) "
-            f"WHEN ({off}) = 0 AND ({v}) > 0 THEN 180.0 "
-            f"ELSE -180.0 + ({off}) END)")
 
 
 def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:

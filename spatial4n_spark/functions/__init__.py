@@ -749,6 +749,59 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
     return pd.DataFrame(cols)
 
 
+_CENTER_SCHEMA = StructType([StructField("x", DoubleType()),
+                             StructField("y", DoubleType())])
+
+
+@pandas_udf(_CENTER_SCHEMA)
+def st_center(kind: pd.Series, x: pd.Series, y: pd.Series,
+              minx: pd.Series, maxx: pd.Series,
+              miny: pd.Series, maxy: pd.Series,
+              xs: pd.Series, ys: pd.Series,
+              ring_offsets: pd.Series) -> pd.DataFrame:
+    """GetCenter for shape structs.
+
+    point/circle -> the point itself (CircleImpl.cs:62); rect and the
+    bbox-centered kinds (line, multipoint, mls, collection) -> the
+    dateline-aware bbox midpoint (RectangleImpl.cs:304-315,
+    BufferedLine.cs:233, ShapeCollection.cs:101); (multi)polygon ->
+    NTS area centroid with even-odd holes and the areal->lineal->
+    puntal degenerate fallback (NtsGeometry.cs:200-210). Empty ->
+    null/null (the reference's (nan, nan) point)."""
+    from ..kernels.centroid import center_batch
+    cx, cy = center_batch(
+        kind.to_numpy(dtype=np.int8, na_value=0),
+        x.to_numpy(dtype=np.float64, na_value=np.nan),
+        y.to_numpy(dtype=np.float64, na_value=np.nan),
+        minx.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+        miny.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxy.to_numpy(dtype=np.float64, na_value=np.nan),
+        xs.tolist(), ys.tolist(), ring_offsets.tolist())
+    return pd.DataFrame({"x": np.where(np.isnan(cx), None, cx),
+                         "y": np.where(np.isnan(cy), None, cy)})
+
+
+def rect_center_cols(minx, maxx, miny, maxy):
+    """JVM twin of the rect branch of `st_center` for hot paths: pure
+    Column expressions (stay inside WholeStageCodegen, no Arrow
+    exchange). Same float op order as kernels.centroid.rect_center so
+    values are bit-identical (asserted in tests/test_center.py).
+    Returns (cx, cy) Columns."""
+    wrapped = maxx < minx
+    w = F.when(wrapped, maxx - minx + F.lit(360.0)).otherwise(maxx - minx)
+    raw = minx + w / F.lit(2.0)
+    # norm_lon_deg (DistanceUtils.cs:290-301): in-range passthrough,
+    # else -180 + pythonic-mod(lon + 180, 360), exact multiple -> +180
+    off = F.pmod(raw + F.lit(180.0), F.lit(360.0))
+    norm = (F.when((raw >= -180.0) & (raw <= 180.0), raw)
+             .when((off == 0.0) & (raw > 0.0), F.lit(180.0))
+             .otherwise(F.lit(-180.0) + off))
+    cx = F.when(wrapped, norm).otherwise(raw)
+    cy = miny + (maxy - miny) / F.lit(2.0)
+    return cx, cy
+
+
 @pandas_udf(ByteType())
 def st_relate_polygon_polygon(axs: pd.Series, ays: pd.Series,
                               aro: pd.Series,
@@ -977,6 +1030,7 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_from_binary": st_from_binary,
         "st_to_binary": st_to_binary,
         "st_buffer": st_buffer,
+        "st_center": st_center,
         "st_relate_polygon_polygon": st_relate_polygon_polygon,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,
