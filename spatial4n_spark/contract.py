@@ -1645,7 +1645,16 @@ def q_polygon_polygon_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = F.col("sa"), F.col("sb")
     rel = SF.st_relate_polygon_polygon(
         a["xs"], a["ys"], a["ring_offsets"], b["xs"], b["ys"], b["ring_offsets"])
-    return parsed.select("poly_id", "v", rel.cast("int").alias("rel"))
+    # GetCenter on polygon A exercises st_center's area-centroid branch
+    # (NtsGeometry.cs:200-210); for a triangle it equals the vertex
+    # mean, which sits exactly on the k/200 coordinate grid — the
+    # 6-decimal round is tie-free on both sides.
+    ctr = SF.st_center(a["kind"], a["x"], a["y"], a["minx"], a["maxx"],
+                       a["miny"], a["maxy"], a["xs"], a["ys"],
+                       a["ring_offsets"])
+    return parsed.select("poly_id", "v", rel.cast("int").alias("rel"),
+                         F.round(ctr.getField("x"), 6).alias("actr_x"),
+                         F.round(ctr.getField("y"), 6).alias("actr_y"))
 
 
 ORACLE_POLYGON_POLYGON = f"""
@@ -1673,7 +1682,9 @@ SELECT poly_id, v,
        CAST(CASE WHEN {_pp_covers(_PP_TRI_A, _PP_TRI_B)} THEN 2
                  WHEN {_pp_covers(_PP_TRI_B, _PP_TRI_A)} THEN 1
                  WHEN {_pp_sat_disjoint(_PP_TRI_A, _PP_TRI_B)} THEN 3
-                 ELSE 4 END AS INT) AS rel
+                 ELSE 4 END AS INT) AS rel,
+       round((x1t + x2t + x3t) / 3.0, 6) AS actr_x,
+       round((y1t + y2t + y3t) / 3.0, 6) AS actr_y
 FROM bt
 """
 

@@ -13,11 +13,17 @@ import math
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from spatial4n_spark.kernels.centroid import (center_batch,
                                               polygon_centroid,
                                               rect_center)
+
+HSET = settings(max_examples=80, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+FIN = dict(allow_nan=False, allow_infinity=False)
 
 
 # ---------------------------------------------------------------- kernel
@@ -110,6 +116,58 @@ def test_center_batch_kinds():
     assert cx[1] == -20.0 and cy[1] == 30.0       # circle -> its center
     assert cx[2] == 180.0 and cy[2] == 5.0        # wrapped rect
     assert math.isnan(cx[3]) and math.isnan(cy[3])  # empty -> nan
+
+
+# ------------------------------------------------------------- properties
+
+def _star_polygon(angles, radii, cx=0.0, cy=0.0):
+    """Simple (star-shaped) polygon from sorted angles + radii."""
+    xs = [cx + r * math.cos(a) for a, r in zip(angles, radii)]
+    ys = [cy + r * math.sin(a) for a, r in zip(angles, radii)]
+    xs.append(xs[0])
+    ys.append(ys[0])
+    return xs, ys
+
+
+@HSET
+@given(st.lists(st.tuples(
+    st.floats(min_value=0.5, max_value=1.0, **FIN),       # angular gap
+    st.floats(min_value=0.5, max_value=40.0, **FIN)),     # radius
+    min_size=5, max_size=12))
+def test_centroid_inside_bbox_and_translation_equivariant(pts):
+    # Angles from normalized gaps, every gap <= 2pi/(0.5 n) < pi: the
+    # radial polygon is star-shaped about the origin, hence simple.
+    gaps = np.array([g for g, _ in pts])
+    angles = (np.cumsum(gaps) - gaps[0]) * (2 * math.pi / gaps.sum())
+    xs, ys = _star_polygon(angles.tolist(), [r for _, r in pts])
+    n = len(xs)
+    cx, cy = polygon_centroid(xs, ys, [0, n])
+    # centroid of a simple polygon lies inside its bbox
+    assert min(xs) - 1e-9 <= cx <= max(xs) + 1e-9
+    assert min(ys) - 1e-9 <= cy <= max(ys) + 1e-9
+    # translation equivariance
+    tx, ty = 13.25, -7.5
+    cx2, cy2 = polygon_centroid([v + tx for v in xs], [v + ty for v in ys],
+                                [0, n])
+    assert cx2 == pytest.approx(cx + tx, abs=1e-7)
+    assert cy2 == pytest.approx(cy + ty, abs=1e-7)
+
+
+@HSET
+@given(st.floats(min_value=-179.0, max_value=179.0, **FIN),
+       st.floats(min_value=1.0, max_value=300.0, **FIN),
+       st.floats(min_value=-89.0, max_value=80.0, **FIN))
+def test_rect_center_is_inside_rect(minx0, w, miny):
+    from spatial4n_spark.kernels.normalize import norm_lon_deg
+    minx = minx0
+    maxx = float(norm_lon_deg(minx + w))
+    maxy = min(90.0, miny + 9.5)
+    cx, cy = rect_center([minx], [maxx], [miny], [maxy])
+    assert -180.0 <= cx[0] <= 180.0
+    assert miny <= cy[0] <= maxy
+    # unwrapped x-distance from minx along +lon equals half the width
+    d = (cx[0] - minx) % 360.0
+    assert d == pytest.approx(w / 2.0 if w < 360.0 else 0.0, abs=1e-9)
 
 
 # ---------------------------------------------------------- spark surface
