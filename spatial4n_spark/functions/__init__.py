@@ -570,13 +570,21 @@ def st_cover_pyramid(minx, maxx, miny, maxy,
 def st_cell_codes_for_levels_col(lat, lon, levels):
     """Array of level-tagged cell codes of a point at each level in
     `levels` — the point side of the adaptive multi-level join, as a
-    PURE Column expression (one Morton tree per level, all inside
-    whole-stage codegen; zero Arrow exchange). Pass only the levels the
-    shape side actually uses (plan-time pruning) to cut the point-side
-    fan-out."""
+    PURE Column expression (whole-stage codegen; zero Arrow exchange).
+
+    Only the FINEST level gets a Morton tree; every coarser code is its
+    ancestor by the prefix property (a level-L code >> 5*(L-Lc) IS the
+    level-Lc code — kernels/geohash.py), so codegen evaluates one
+    coordinate tree per row instead of len(levels) (ProjectExec
+    subexpression elimination collapses the shared base). Pass only the
+    levels the shape side actually uses (plan-time pruning) to cut the
+    point-side fan-out."""
+    levels = list(levels)
     tag_bits = _gh.LEVEL_TAG_BITS
+    finest = max(levels)
+    base = st_cell_code_col(lat, lon, finest)
     return F.array(*[
-        F.shiftleft(st_cell_code_col(lat, lon, lv), tag_bits)
+        F.shiftleft(F.shiftright(base, 5 * (finest - lv)), tag_bits)
          .bitwiseOR(F.lit(lv)).cast("long")
         for lv in levels])
 
