@@ -2693,10 +2693,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        media_features, sample_frames)
     refs = _load(spark, sf_dir, "part").selectExpr(
         "concat('media://item/', cast(p_partkey as string)) AS media_ref")
+    # spread the refs across cores BEFORE the Python decode: the tiny
+    # part scan is a single file split, which would serialize the
+    # mapInPandas stage (at scale the media table arrives in thousands
+    # of splits and this repartition is unnecessary/free-riding on the
+    # scan layout; here it shuffles only narrow ref strings)
+    refs = refs.repartition(spark.sparkContext.defaultParallelism)
     # materialize the decode ONCE: three downstream branches (stats,
     # dims, frame sampling) would otherwise re-run the mapInPandas
     # decode per branch — at scale this is a persisted/written stage
-    dec = decode_media(generate_media(spark, refs)).localCheckpoint()
+    dec = decode_media(generate_media(spark, refs, dedup_refs=False)
+                       ).localCheckpoint()
     feats = media_features(dec)
     dims = dec.select("media_ref", "width", "height", "channels")
     fr = (sample_frames(dec, every_n=2)

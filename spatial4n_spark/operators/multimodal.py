@@ -91,11 +91,18 @@ def _fake_payload(ref: str) -> tuple[str, bytes, tuple]:
 
 
 def generate_media(spark: SparkSession, refs: DataFrame | None = None,
-                   n: int = 1024) -> DataFrame:
+                   n: int = 1024, dedup_refs: bool = True) -> DataFrame:
     """Media table keyed by media_ref (joins against docs' media spans).
 
     Distributed: payloads are a pure function of the ref, built per
     Arrow batch; no driver-side materialization.
+
+    Pass ``dedup_refs=False`` when the ref set is already unique: the
+    distinct's shuffle output is AQE-coalesced by BYTE size, and media
+    refs are tiny strings — a 20k-ref layer collapses to ONE partition,
+    serializing the (expensive-per-row) downstream Python decode. The
+    classic cheap-rows/expensive-UDF mismatch; skipping the distinct
+    lets the caller's partitioning reach mapInPandas unchanged.
     """
     if refs is None:
         refs = spark.range(n).select(
@@ -114,7 +121,10 @@ def generate_media(spark: SparkSession, refs: DataFrame | None = None,
                          for m in (r[2] for r in rows)],
             })
 
-    return refs.select("media_ref").distinct().mapInPandas(gen, MEDIA_SCHEMA)
+    refs = refs.select("media_ref")
+    if dedup_refs:
+        refs = refs.distinct()
+    return refs.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------------------
