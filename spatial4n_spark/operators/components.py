@@ -23,7 +23,7 @@ frame (no extra lineage).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -56,17 +56,25 @@ def connected_components(edges: DataFrame, src: str = "src",
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
 
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
                    .select(F.col("b").alias("node"), F.col("label")))
+        # convergence probe rides the SAME job as the checkpoint (an
+        # Observation over the old-vs-new label join) — one pass over
+        # the data per round instead of checkpoint + probe jobs
+        obs = Observation(f"cc_round_{i}")
         new_labels = (labels.select("node", "label").union(msgs)
                       .groupBy("node").agg(F.min("label").alias("label"))
+                      .join(labels.select(F.col("node"),
+                                          F.col("label").alias("__old")),
+                            "node")
+                      .observe(obs, F.sum(
+                          (F.col("label") != F.col("__old")).cast("long"))
+                          .alias("nchanged"))
+                      .select("node", "label")
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label")))
         labels = new_labels
-        if changed.isEmpty():
+        if not obs.get["nchanged"]:
             converged = True
             break
     if strict and not converged:
