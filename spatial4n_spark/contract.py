@@ -1815,15 +1815,24 @@ FROM p
 
 def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit conversion surface (Dist2Degrees / Degrees2Dist / ToRadians,
-    DistanceUtils.cs:589-638) with the exact EarthMeanRadius constant."""
+    DistanceUtils.cs:589-638; km<->miles :95-112) with the exact
+    constants, plus the p-norm VectorDistance ladder (:123-189) as a
+    pure-Column expression over derived 3-vectors."""
     from . import functions as SF
     o = _load(spark, sf_dir, "orders").selectExpr(
         "o_orderkey", "(cast(1.0 as double) + (o_orderkey % 20000) / 2.0) AS d_km")
     u = SF.st_units(F.col("d_km"))
+    va = F.array(F.col("d_km"), F.col("d_km") / F.lit(2.0), F.lit(3.0))
+    vb = F.array(F.lit(1.0), F.col("d_km") / F.lit(4.0), F.lit(5.0))
     return o.select("o_orderkey",
                     F.round(u["deg"], 9).alias("deg"),
                     F.round(u["km_rt"], 9).alias("km_rt"),
-                    F.round(u["rad"], 9).alias("rad"))
+                    F.round(u["rad"], 9).alias("rad"),
+                    F.round(u["mi"], 9).alias("mi"),
+                    F.round(u["km_from_mi"], 9).alias("km_from_mi"),
+                    SF.st_vector_distance(va, vb, 0.0).alias("vd0"),
+                    F.round(SF.st_vector_distance(va, vb, 1.0), 9).alias("vd1"),
+                    F.round(SF.st_vector_distance(va, vb, 2.0), 9).alias("vd2"))
 
 
 ORACLE_UNITS = f"""
@@ -1835,7 +1844,16 @@ WITH o AS (
 SELECT o_orderkey,
        round((d_km / 6371.0087714) * {_RDEG}, 9) AS deg,
        round(((d_km / 6371.0087714) * {_RDEG}) * {_D2R} * 6371.0087714, 9) AS km_rt,
-       round(((d_km / 6371.0087714) * {_RDEG}) * {_D2R}, 9) AS rad
+       round(((d_km / 6371.0087714) * {_RDEG}) * {_D2R}, 9) AS rad,
+       round(d_km * 0.621371192, 9) AS mi,
+       round((d_km * 0.621371192) * (1.0 / 0.621371192), 9) AS km_from_mi,
+       ((CASE WHEN d_km = 1.0 THEN 0.0 ELSE 1.0 END)
+        + (CASE WHEN d_km / 2.0 = d_km / 4.0 THEN 0.0 ELSE 1.0 END)
+        + 1.0) AS vd0,
+       round(abs(d_km - 1.0) + abs(d_km / 2.0 - d_km / 4.0) + abs(3.0 - 5.0), 9) AS vd1,
+       round(sqrt((d_km - 1.0) * (d_km - 1.0)
+                  + (d_km / 2.0 - d_km / 4.0) * (d_km / 2.0 - d_km / 4.0)
+                  + (3.0 - 5.0) * (3.0 - 5.0)), 9) AS vd2
 FROM o
 """
 
@@ -2315,7 +2333,8 @@ def q_normalize_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NORMALIZE_UNITS = f"""
-SELECT a.o_orderkey, a.lon_n, a.lat_n, b.deg, b.km_rt, b.rad
+SELECT a.o_orderkey, a.lon_n, a.lat_n, b.deg, b.km_rt, b.rad,
+       b.mi, b.km_from_mi, b.vd0, b.vd1, b.vd2
 FROM ({ORACLE_NORM}) a JOIN ({ORACLE_UNITS}) b USING (o_orderkey)
 """
 

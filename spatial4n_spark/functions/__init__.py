@@ -909,19 +909,63 @@ def st_cartesian_point_on_bearing(x: pd.Series, y: pd.Series,
 
 _UNITS_SCHEMA = StructType([
     StructField("deg", DoubleType()), StructField("km_rt", DoubleType()),
-    StructField("rad", DoubleType()),
+    StructField("rad", DoubleType()), StructField("mi", DoubleType()),
+    StructField("km_from_mi", DoubleType()),
 ])
 
 
 @pandas_udf(_UNITS_SCHEMA)
 def st_units(dist_km: pd.Series) -> pd.DataFrame:
-    """Unit conversions (DistanceUtils.cs:589-638, exact constants):
-    km -> degrees, round-trip back to km, degrees -> radians."""
-    from ..kernels.normalize import (degrees_to_dist, dist_to_degrees,
+    """Unit conversions (DistanceUtils.cs:589-638 + the :95-112 mile
+    constants, all exact): km -> degrees, round-trip back to km,
+    degrees -> radians, km -> miles and back."""
+    from ..kernels.normalize import (KM_TO_MILES, MILES_TO_KM,
+                                     degrees_to_dist, dist_to_degrees,
                                      to_radians)
-    deg = dist_to_degrees(dist_km.to_numpy())
+    km = dist_km.to_numpy()
+    deg = dist_to_degrees(km)
+    mi = km * KM_TO_MILES
     return pd.DataFrame({"deg": deg, "km_rt": degrees_to_dist(deg),
-                         "rad": to_radians(deg)})
+                         "rad": to_radians(deg), "mi": mi,
+                         "km_from_mi": mi * MILES_TO_KM})
+
+
+def st_vector_distance(vec1, vec2, power: float):
+    """p-norm between two array<double> columns as a PURE Column
+    expression (DistanceUtils.cs:123-189 special-case ladder: power=0
+    counts differing components, 1 = Manhattan, 2 = Euclidean with
+    sqrt, else generic p-norm with the 1/power root). Stays in
+    whole-stage codegen — the embedding-distance hot path never needs
+    an Arrow exchange for this."""
+    p = float(power)
+    if p == 0.0:
+        term = lambda x, y: F.when(x == y, F.lit(0.0)).otherwise(F.lit(1.0))
+    elif p == 1.0:
+        term = lambda x, y: F.abs(x - y)
+    elif p == 2.0:
+        term = lambda x, y: (x - y) * (x - y)
+    else:
+        term = lambda x, y: F.pow(F.abs(x - y), F.lit(p))
+    s = F.aggregate(F.zip_with(vec1, vec2, term), F.lit(0.0),
+                    lambda acc, v: acc + v)
+    if p in (0.0, 1.0):
+        return s
+    if p == 2.0:
+        return F.sqrt(s)
+    return F.pow(s, F.lit(1.0 / p))
+
+
+def vector_box_corner_cols(center_cols, distance, upper_right: bool):
+    """JVM VectorBoxCorner (DistanceUtils.cs:191-211): each coordinate
+    Column moves by sin(45deg) * distance (negated for lower-left)."""
+    from pyspark.sql import Column
+
+    from ..kernels.distance import SIN_45_AS_RADS
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    d = F.lit(SIN_45_AS_RADS) * d
+    if not upper_right:
+        d = -d
+    return [c + d for c in center_cols]
 
 
 _HAV_VIN_SCHEMA = StructType([

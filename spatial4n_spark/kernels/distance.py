@@ -86,3 +86,40 @@ def distance_deg(x1, y1, x2, y2, geo: bool = True, calculator: str | None = None
     if geo:
         return geo_distance_deg(x1, y1, x2, y2, calculator or "haversine")
     return cartesian_distance(x1, y1, x2, y2)
+
+
+def vector_distance(vec1, vec2, power: float):
+    """p-norm length between two vectors (DistanceUtils.cs:123-189).
+
+    power=0 counts differing components (no root), power=1 Manhattan
+    (no root), power=2 Euclidean (sqrt), else generic p-norm with the
+    1/power root — exactly the reference's special-case ladder.
+    Vectorized over a BATCH: vec1/vec2 are (n, dim) arrays -> (n,)
+    distances (the reference signature is one pair; the batch shape is
+    the engine's unit of work).
+    """
+    a = np.atleast_2d(np.asarray(vec1, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(vec2, dtype=np.float64))
+    d = a - b
+    if power == 0:
+        out = (d != 0).sum(axis=1).astype(np.float64)
+    elif power == 1.0:
+        out = np.abs(d).sum(axis=1)
+    elif power == 2.0:
+        out = np.sqrt((d * d).sum(axis=1))
+    else:
+        out = np.power(np.power(np.abs(d), power).sum(axis=1), 1.0 / power)
+    return out if np.ndim(vec1) > 1 else float(out[0])
+
+
+SIN_45_AS_RADS = np.sin(np.pi / 4)
+
+
+def vector_box_corner(center, distance: float, upper_right: bool):
+    """Box corner at `distance` from `center` in a rectangular space
+    (DistanceUtils.cs:191-211): each coordinate moves by
+    sin(45deg) * distance (negated for the lower-left corner); norm-
+    independent by the sine definition, any dimensionality."""
+    c = np.asarray(center, dtype=np.float64)
+    d = SIN_45_AS_RADS * (distance if upper_right else -distance)
+    return c + d

@@ -14,6 +14,11 @@ EARTH_MEAN_RADIUS_KM = 6371.0087714
 EARTH_EQUATORIAL_RADIUS_KM = 6378.1370
 DEGREES_TO_KILOMETERS = DEGREES_TO_RADIANS * EARTH_MEAN_RADIUS_KM
 KILOMETERS_TO_DEGREES = 1.0 / DEGREES_TO_KILOMETERS
+# DistanceUtils.cs:95-112 — exact constants
+KM_TO_MILES = 0.621371192
+MILES_TO_KM = 1.0 / KM_TO_MILES
+EARTH_MEAN_RADIUS_MI = EARTH_MEAN_RADIUS_KM * KM_TO_MILES
+EARTH_EQUATORIAL_RADIUS_MI = EARTH_EQUATORIAL_RADIUS_KM * KM_TO_MILES
 
 
 def to_radians(deg):

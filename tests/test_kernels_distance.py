@@ -86,3 +86,39 @@ def test_point_on_bearing_roundtrip():
 def test_cartesian_distance():
     assert float(dist.cartesian_distance(0, 0, 3, 4)) == 5.0
     assert float(dist.cartesian_distance(0, 0, 3, 4, squared=True)) == 25.0
+
+
+# ---- VectorDistance / VectorBoxCorner (DistanceUtils.cs:123-211) ----
+
+def test_vector_distance_ladder():
+    import numpy as np
+    from spatial4n_spark.kernels.distance import vector_distance
+    a, b = [1.0, 2.0, 3.0], [1.0, 4.0, 0.0]
+    assert vector_distance(a, b, 0) == 2.0          # differing components
+    assert vector_distance(a, b, 1) == 5.0          # manhattan
+    assert vector_distance(a, b, 2) == pytest.approx(np.sqrt(13.0))
+    # generic p-norm with the 1/p root
+    assert vector_distance(a, b, 3) == pytest.approx((2**3 + 3**3) ** (1/3))
+    # batch shape
+    out = vector_distance([[1.0, 2, 3], [0, 0, 0]], [[1.0, 4, 0], [1, 1, 1]], 1)
+    assert list(out) == [5.0, 3.0]
+
+
+def test_vector_box_corner():
+    import numpy as np
+    from spatial4n_spark.kernels.distance import (SIN_45_AS_RADS,
+                                                  vector_box_corner)
+    ur = vector_box_corner([10.0, 20.0], 2.0, True)
+    ll = vector_box_corner([10.0, 20.0], 2.0, False)
+    d = SIN_45_AS_RADS * 2.0
+    assert np.allclose(ur, [10.0 + d, 20.0 + d])
+    assert np.allclose(ll, [10.0 - d, 20.0 - d])
+
+
+def test_mile_constants_exact():
+    from spatial4n_spark.kernels import normalize as N
+    assert N.KM_TO_MILES == 0.621371192
+    assert N.MILES_TO_KM == 1.0 / 0.621371192
+    assert N.EARTH_MEAN_RADIUS_MI == N.EARTH_MEAN_RADIUS_KM * N.KM_TO_MILES
+    assert (N.EARTH_EQUATORIAL_RADIUS_MI
+            == N.EARTH_EQUATORIAL_RADIUS_KM * N.KM_TO_MILES)
