@@ -1652,9 +1652,17 @@ def q_polygon_polygon_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctr = SF.st_center(a["kind"], a["x"], a["y"], a["minx"], a["maxx"],
                        a["miny"], a["maxy"], a["xs"], a["ys"],
                        a["ring_offsets"])
+    # GetArea(geo ctx) on polygon A: euclid shoelace * filledRatio *
+    # geo bbox area (NtsGeometry.cs:184-196). The parser preserves
+    # vertex order, so the oracle's explicit 3-term shoelace is
+    # bit-identical (the closing edge's cross term is exactly 0).
+    area = SF.st_area(a["kind"], a["radius"], a["minx"], a["maxx"],
+                      a["miny"], a["maxy"], a["xs"], a["ys"],
+                      a["ring_offsets"], geo=True)
     return parsed.select("poly_id", "v", rel.cast("int").alias("rel"),
                          F.round(ctr.getField("x"), 6).alias("actr_x"),
-                         F.round(ctr.getField("y"), 6).alias("actr_y"))
+                         F.round(ctr.getField("y"), 6).alias("actr_y"),
+                         F.round(area, 6).alias("aarea"))
 
 
 ORACLE_POLYGON_POLYGON = f"""
@@ -1684,7 +1692,17 @@ SELECT poly_id, v,
                  WHEN {_pp_sat_disjoint(_PP_TRI_A, _PP_TRI_B)} THEN 3
                  ELSE 4 END AS INT) AS rel,
        round((x1t + x2t + x3t) / 3.0, 6) AS actr_x,
-       round((y1t + y2t + y3t) / 3.0, 6) AS actr_y
+       round((y1t + y2t + y3t) / 3.0, 6) AS actr_y,
+       round(({_D2R} * {_RDEG} * {_RDEG}
+              * abs(sin(least(y1t, y2t, y3t) * {_D2R})
+                    - sin(greatest(y1t, y2t, y3t) * {_D2R}))
+              * (greatest(x1t, x2t, x3t) - least(x1t, x2t, x3t)))
+             * (abs(0.5 * ((x1t * y2t - x2t * y1t)
+                           + (x2t * y3t - x3t * y2t)
+                           + (x3t * y1t - x1t * y3t)))
+                / ((greatest(x1t, x2t, x3t) - least(x1t, x2t, x3t))
+                   * (greatest(y1t, y2t, y3t) - least(y1t, y2t, y3t)))),
+             6) AS aarea
 FROM bt
 """
 

@@ -790,6 +790,53 @@ def st_center(kind: pd.Series, x: pd.Series, y: pd.Series,
                          "y": np.where(np.isnan(cy), None, cy)})
 
 
+@pandas_udf(DoubleType())
+def _st_area_geo(kind: pd.Series, radius: pd.Series,
+                 minx: pd.Series, maxx: pd.Series,
+                 miny: pd.Series, maxy: pd.Series,
+                 xs: pd.Series, ys: pd.Series,
+                 ring_offsets: pd.Series) -> pd.Series:
+    from ..kernels.area import shape_area_batch
+    return pd.Series(shape_area_batch(
+        kind.to_numpy(dtype=np.int8, na_value=0),
+        radius.to_numpy(dtype=np.float64, na_value=np.nan),
+        minx.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+        miny.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxy.to_numpy(dtype=np.float64, na_value=np.nan),
+        xs.tolist(), ys.tolist(), ring_offsets.tolist(), True))
+
+
+@pandas_udf(DoubleType())
+def _st_area_euclid(kind: pd.Series, radius: pd.Series,
+                    minx: pd.Series, maxx: pd.Series,
+                    miny: pd.Series, maxy: pd.Series,
+                    xs: pd.Series, ys: pd.Series,
+                    ring_offsets: pd.Series) -> pd.Series:
+    from ..kernels.area import shape_area_batch
+    return pd.Series(shape_area_batch(
+        kind.to_numpy(dtype=np.int8, na_value=0),
+        radius.to_numpy(dtype=np.float64, na_value=np.nan),
+        minx.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxx.to_numpy(dtype=np.float64, na_value=np.nan),
+        miny.to_numpy(dtype=np.float64, na_value=np.nan),
+        maxy.to_numpy(dtype=np.float64, na_value=np.nan),
+        xs.tolist(), ys.tolist(), ring_offsets.tolist(), False))
+
+
+def st_area(kind, radius, minx, maxx, miny, maxy, xs, ys, ring_offsets,
+            geo: bool = True):
+    """GetArea(ctx) for shape structs — geo=True is the spherical
+    context, geo=False the Euclidean (ctx=null) branch. Dispatch per
+    kind: point 0, rect band/W*H, circle cap/pi r^2, buffered line
+    segment-sum capped at the bbox area, (multi)polygon euclid shoelace
+    scaled by filledRatio * geo bbox area (NtsGeometry.cs:184-196).
+    Collection/empty -> null (flat records drop member structure; sum
+    member areas with the ShapeCollection cap rule instead)."""
+    f = _st_area_geo if geo else _st_area_euclid
+    return f(kind, radius, minx, maxx, miny, maxy, xs, ys, ring_offsets)
+
+
 def rect_center_cols(minx, maxx, miny, maxy):
     """JVM twin of the rect branch of `st_center` for hot paths: pure
     Column expressions (stay inside WholeStageCodegen, no Arrow
