@@ -1130,6 +1130,8 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_to_binary": st_to_binary,
         "st_buffer": st_buffer,
         "st_center": st_center,
+        "st_area_geo": _st_area_geo,
+        "st_area_euclid": _st_area_euclid,
         "st_relate_polygon_polygon": st_relate_polygon_polygon,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,
