@@ -145,6 +145,8 @@ def center_batch(kind, x, y, minx, maxx, miny, maxy, xs_list, ys_list,
         cx[bx] = rcx
         cy[bx] = rcy
     for i in np.nonzero((kind == 7) | (kind == 8))[0]:
+        if xs_list[i] is None:
+            continue  # malformed record: stay (nan, nan) like empty
         cx[i], cy[i] = polygon_centroid(xs_list[i], ys_list[i],
                                         ring_offsets_list[i])
     return cx, cy
