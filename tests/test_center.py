@@ -170,6 +170,45 @@ def test_rect_center_is_inside_rect(minx0, w, miny):
     assert d == pytest.approx(w / 2.0 if w < 360.0 else 0.0, abs=1e-9)
 
 
+@HSET
+@given(st.floats(min_value=-179.0, max_value=179.0, **FIN),
+       st.floats(min_value=0.5, max_value=350.0, **FIN),
+       st.floats(min_value=-89.0, max_value=85.0, **FIN),
+       st.floats(min_value=0.5, max_value=10.0, **FIN))
+def test_rect_contains_its_center(minx0, w, miny, h):
+    """Cross-kernel consistency: a rect CONTAINS its own GetCenter
+    point (dateline-wrapped rects included)."""
+    from spatial4n_spark.kernels import relation as REL
+    from spatial4n_spark.kernels.normalize import norm_lon_deg
+    from spatial4n_spark.kernels.relate_rect import relate_rect_point
+    minx = minx0
+    maxx = float(norm_lon_deg(minx + w))
+    maxy = min(90.0, miny + h)
+    cx, cy = rect_center([minx], [maxx], [miny], [maxy])
+    rel = relate_rect_point([minx], [maxx], [miny], [maxy], cx, cy, geo=True)
+    assert rel[0] == REL.CONTAINS
+
+
+@HSET
+@given(st.lists(st.tuples(
+    st.floats(min_value=0.5, max_value=1.0, **FIN),
+    st.floats(min_value=1.0, max_value=30.0, **FIN)),
+    min_size=5, max_size=10))
+def test_convex_polygon_contains_its_centroid(pts):
+    """Centroid of a CONVEX polygon lies inside it (points on a circle
+    of per-test radius, sorted by angle -> convex)."""
+    from spatial4n_spark.kernels.pip import points_in_polygon
+    gaps = np.array([g for g, _ in pts])
+    r = pts[0][1]
+    angles = (np.cumsum(gaps) - gaps[0]) * (2 * math.pi / gaps.sum())
+    xs = (r * np.cos(angles)).tolist()
+    ys = (r * np.sin(angles)).tolist()
+    xs.append(xs[0])
+    ys.append(ys[0])
+    cx, cy = polygon_centroid(xs, ys, [0, len(xs)])
+    assert points_in_polygon([cx], [cy], xs, ys, [0, len(xs)])[0]
+
+
 # ---------------------------------------------------------- spark surface
 
 WKT_CASES = [
