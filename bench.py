@@ -80,6 +80,13 @@ def main() -> None:
     flagship_sec = time.time() - t0
     timings["flagship_pip_tile"] = round(flagship_sec, 3)
     docs_per_sec = n_docs / flagship_sec
+    # second timed pass: steady-state number alongside the first-run
+    # figure (kept as the cross-round-comparable metric). The single
+    # first run is hostage to the hypervisor window (BENCH.md §3);
+    # min-of-2 bounds that noise without changing the protocol field.
+    t0 = time.time()
+    flagship()
+    flagship_best = min(flagship_sec, time.time() - t0)
 
     # --- headline contract queries at sf_dir ---
     headline = [
@@ -108,6 +115,7 @@ def main() -> None:
         "cpus": cpus,
         "bench_docs": n_docs,
         "throughput_docs_per_sec": round(docs_per_sec, 1),
+        "throughput_docs_per_sec_steady": round(n_docs / flagship_best, 1),
         "flagship_join_rows": join_rows,
     }))
     spark.stop()
