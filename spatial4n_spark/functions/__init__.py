@@ -824,6 +824,33 @@ def _st_area_euclid(kind: pd.Series, radius: pd.Series,
         xs.tolist(), ys.tolist(), ring_offsets.tolist(), False))
 
 
+def st_has_area_col(shape):
+    """IShape.HasArea as a pure Column over the shape struct:
+    point/multipoint false (PointImpl.cs:81), rect maxX!=minX &&
+    maxY!=minY (RectangleImpl.cs:116), circle radius>0
+    (CircleImpl.cs:88), buffered line(string) buf>0
+    (BufferedLine.cs:224 via the segment collection), (multi)polygon
+    true (NtsGeometry: dimension-2 geometry), collection true iff its
+    merged bbox has area (flat records drop members; exact member-any
+    needs the parse-level member list), empty false."""
+    k = shape["kind"]
+    bbox_area = ((shape["maxx"] != shape["minx"])
+                 & (shape["maxy"] != shape["miny"]))
+    return (F.when(k == 2, bbox_area)
+             .when(k == 3, shape["radius"] > 0)
+             .when((k == 4) | (k == 6),
+                   F.coalesce(shape["radius"] > 0, F.lit(False)))
+             .when((k == 7) | (k == 8), F.lit(True))
+             .when(k == 9, bbox_area)
+             .otherwise(F.lit(False)))
+
+
+def st_is_empty_col(shape):
+    """IShape.IsEmpty as a pure Column (kind 0 = the NaN-coordinate
+    empty record, Shape.cs:93-96)."""
+    return shape["kind"] == 0
+
+
 def st_area(kind, radius, minx, maxx, miny, maxy, xs, ys, ring_offsets,
             geo: bool = True):
     """GetArea(ctx) for shape structs — geo=True is the spherical

@@ -104,3 +104,27 @@ def test_st_area_udf(spark):
             .orderBy("id").collect())
     for row, (wkt, exp) in zip(rows, cases):
         assert row["a"] == pytest.approx(exp, abs=1e-9), wkt
+
+
+def test_has_area_and_is_empty_cols(spark):
+    from spatial4n_spark import functions as SF
+    cases = [
+        ("POINT (1 2)", False),
+        ("ENVELOPE(-10, 10, 10, -10)", True),
+        ("ENVELOPE(5, 5, 10, -10)", False),            # degenerate width
+        ("BUFFER(POINT(1 2), 3)", True),
+        ("BUFFER(POINT(1 2), 0)", False),              # zero-radius circle
+        ("LINESTRING (0 0, 5 5)", False),              # buf 0
+        ("BUFFER(LINESTRING(0 0, 5 5), 1)", True),
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", True),
+        ("MULTIPOINT ((1 1), (2 2))", False),
+    ]
+    df = spark.createDataFrame([(i, w) for i, (w, _) in enumerate(cases)],
+                               "id int, wkt string")
+    s = df.select("id", SF.st_from_wkt(F.col("wkt")).alias("s"))
+    rows = (s.select("id", SF.st_has_area_col(F.col("s")).alias("ha"),
+                     SF.st_is_empty_col(F.col("s")).alias("em"))
+            .orderBy("id").collect())
+    for row, (wkt, exp) in zip(rows, cases):
+        assert row["ha"] == exp, wkt
+        assert row["em"] is False, wkt
