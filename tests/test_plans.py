@@ -109,3 +109,18 @@ def test_zonal_stats_is_equi_join_not_nested_loop(spark):
     p = _plan(out)
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_rect_center_twin_stays_jvm(spark):
+    """The representative-point projection (rect_center_cols) over a
+    rect layer compiles to pure codegen — no Python node, no shuffle."""
+    from spatial4n_spark import functions as SF
+    rects = contract.supplier_rects(spark, SF_DIR)
+    cx, cy = SF.rect_center_cols(F.col("sminx"), F.col("smaxx"),
+                                 F.col("sminy"), F.col("smaxy"))
+    df = rects.select("srect_id", cx.alias("cx"), cy.alias("cy"))
+    p = _plan(df)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                "Exchange"):
+        assert bad not in p, p
+    assert "*(1) Project" in p  # the * marks a WholeStageCodegen span
