@@ -570,16 +570,16 @@ SELECT rect_id, minx AS pminx, maxx AS pmaxx, miny AS pminy, maxy AS pmaxy FROM 
 """
 
 
-def q_polygon_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-POLYGON join: triangles built as WKT, parsed by the
-    engine, PIP via the even-odd kernel through the cell join."""
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle polygon layer keyed by s_suppkey, built as WKT and
+    parsed by the engine. Vertex offsets carry sub-grid decimals:
+    customer points and supplier centers share the 0.005-degree
+    lattice, and aligned slope-2 edges put points EXACTLY on the
+    boundary (sign flips on 1-ulp arithmetic-order differences vs the
+    oracle); the .000357/.000713/.000251/.000509 tails keep every test
+    point strictly off every edge (raster pixel centers sit at
+    0.005*(k + .25/.75) — min gap ~9e-4, cross products >= ~2e-2)."""
     from . import functions as SF
-    from .operators.joins import point_in_shape_join
-    from .plans.strategy import JoinPlan
-    # vertex offsets carry sub-grid decimals: customer points and
-    # supplier centers share the 0.005-degree lattice, and aligned
-    # slope-2 edges put points EXACTLY on the boundary (sign flips on
-    # 1-ulp arithmetic-order differences vs the oracle)
     tri = _load(spark, sf_dir, "supplier").selectExpr(
         "s_suppkey AS poly_id",
         f"{SCX} AS x1t", f"({SCY} - 10.000357) AS y1t",
@@ -589,7 +589,24 @@ def q_polygon_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  " cast(x2t as string), ' ', cast(y2t as string), ', ',"
                  " cast(x3t as string), ' ', cast(y3t as string), ', ',"
                  " cast(x1t as string), ' ', cast(y1t as string), '))')")
-    polys = tri.withColumn("shape", SF.st_from_wkt(wkt)).select("poly_id", "shape")
+    return tri.withColumn("shape", SF.st_from_wkt(wkt)).select("poly_id", "shape")
+
+
+_CTE_TRI = f"""tri AS (
+  SELECT s_suppkey AS poly_id,
+         {SCX} AS x1t, ({SCY} - 10.000357) AS y1t,
+         ({SCX} + 24.000713) AS x2t, ({SCY} - 10.000357) AS y2t,
+         ({SCX} + 12.000251) AS x3t, ({SCY} + 14.000509) AS y3t
+  FROM supplier
+)"""
+
+
+def q_polygon_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-POLYGON join: triangles built as WKT, parsed by the
+    engine, PIP via the even-odd kernel through the cell join."""
+    from .operators.joins import point_in_shape_join
+    from .plans.strategy import JoinPlan
+    polys = supplier_triangles(spark, sf_dir)
     pts = customer_points(spark, sf_dir)
     plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None, max_cover_cells=4096)
     out = point_in_shape_join(pts, polys, plan)
@@ -856,17 +873,31 @@ SELECT vec_id, CAST({_ddb_bucket(8)} AS INT) AS bucket FROM embeddings
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector zonal stats over the synthetic tile set (decode
-    stub, real Spark plumbing)."""
-    from .operators.zonal import decode_raster_tiles, zonal_stats
+    stub, real Spark plumbing). Tagged union of BOTH zone families:
+    plain-rect zones (closed-rect containment) and POLYGON zones
+    (supplier triangles via the even-odd PIP refine) — the general
+    raster<->vector case."""
+    from .operators.zonal import (decode_raster_tiles, zonal_stats,
+                                  zonal_stats_poly)
     refs = spark.range(0, 64).selectExpr(
         "concat('raster://tile/', cast(id as string)) AS media_ref")
-    pixels = decode_raster_tiles(refs)
-    zones = nation_plain_rects(spark, sf_dir)
-    return zonal_stats(pixels, zones).select("rect_id", "px_count", "px_sum")
+    pixels = decode_raster_tiles(refs).localCheckpoint()
+    rects = nation_plain_rects(spark, sf_dir)
+    polys = supplier_triangles(spark, sf_dir)
+    a = (zonal_stats(pixels, rects)
+         .select(F.lit("rect").alias("zone_kind"),
+                 F.col("rect_id").cast("bigint").alias("zone_id"),
+                 "px_count", "px_sum"))
+    b = (zonal_stats_poly(pixels, polys)
+         .select(F.lit("poly").alias("zone_kind"),
+                 F.col("poly_id").cast("bigint").alias("zone_id"),
+                 "px_count", "px_sum"))
+    return a.unionByName(b)
 
 
 ORACLE_ZONAL = f"""
 WITH {_CTE_N2RECTS},
+{_CTE_TRI},
 px AS (
   SELECT t AS tile, i, j,
          (t % 16) * 22.5 - 180.0 + (i + 0.5) * (22.5 / 16) AS px_lon,
@@ -876,10 +907,19 @@ px AS (
        unnest(range(0, 16)) AS ii(i),
        unnest(range(0, 16)) AS jj(j)
 )
-SELECT rect_id, count(*) AS px_count, sum(value) AS px_sum
+SELECT 'rect' AS zone_kind, CAST(rect_id AS BIGINT) AS zone_id,
+       count(*) AS px_count, sum(value) AS px_sum
 FROM px JOIN n2rects
   ON px_lon >= minx AND px_lon <= maxx AND px_lat >= miny AND px_lat <= maxy
-GROUP BY rect_id
+GROUP BY 1, 2
+UNION ALL
+SELECT 'poly' AS zone_kind, CAST(poly_id AS BIGINT) AS zone_id,
+       count(*) AS px_count, sum(value) AS px_sum
+FROM px JOIN tri
+  ON ((x2t - x1t) * (px_lat - y1t) - (y2t - y1t) * (px_lon - x1t)) >= 0
+ AND ((x3t - x2t) * (px_lat - y2t) - (y3t - y2t) * (px_lon - x2t)) >= 0
+ AND ((x1t - x3t) * (px_lat - y3t) - (y1t - y3t) * (px_lon - x3t)) >= 0
+GROUP BY 1, 2
 """
 
 
@@ -977,13 +1017,7 @@ FROM events
 # counting as inside (COVERS) — CCW orientation by construction
 ORACLE_POLYGON_PIP = f"""
 WITH {_CTE_POINTS},
-tri AS (
-  SELECT s_suppkey AS poly_id,
-         {SCX} AS x1t, ({SCY} - 10.000357) AS y1t,
-         ({SCX} + 24.000713) AS x2t, ({SCY} - 10.000357) AS y2t,
-         ({SCX} + 12.000251) AS x3t, ({SCY} + 14.000509) AS y3t
-  FROM supplier
-)
+{_CTE_TRI}
 SELECT c_custkey, poly_id
 FROM pts CROSS JOIN tri
 WHERE ((x2t - x1t) * (y - y1t) - (y2t - y1t) * (x - x1t)) >= 0

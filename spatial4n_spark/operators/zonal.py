@@ -114,3 +114,28 @@ def zonal_stats(pixels: DataFrame, zones: DataFrame,
              .agg(F.count("*").alias("px_count"),
                   F.sum("value").alias("px_sum"),
                   F.round(F.sum("value") / F.count("*").cast("double"), 6).alias("px_mean")))
+
+
+def zonal_stats_poly(pixels: DataFrame, polys: DataFrame,
+                     zone_id: str = "poly_id", precision: int = 2) -> DataFrame:
+    """Zonal stats over POLYGON zones (the general raster<->vector case).
+
+    Same coarse/refine skeleton, but zones are shape structs (WKT-parsed
+    polygons, dateline pages included): pixel centers run through
+    `point_in_shape_join` — cell-code equi-join on the polygon's bbox
+    cover, JVM bbox gate, then the even-odd PIP kernel refine
+    (kernels/pip.py, NtsGeometry.cs:260-275 semantics) — and the
+    aggregate keys the zone id. Nothing here is polygon-count-bound:
+    the pixel side never shuffles (zone covers broadcast), and the
+    refine is one Arrow pass over gate survivors only.
+    """
+    from ..plans.strategy import JoinPlan
+    from .joins import point_in_shape_join
+    plan = JoinPlan(precision=precision, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    j = point_in_shape_join(pixels, polys, plan,
+                            point_x="px_lon", point_y="px_lat")
+    return (j.groupBy(zone_id)
+             .agg(F.count("*").alias("px_count"),
+                  F.sum("value").alias("px_sum"),
+                  F.round(F.sum("value") / F.count("*").cast("double"), 6).alias("px_mean")))
