@@ -1011,27 +1011,88 @@ def parse_wkt_columns(texts, geo: bool = True,
 # legacy text format (Io/LegacyShapeReadWriterFormat.cs:46-209)
 # ---------------------------------------------------------------------------
 
-_LEGACY_CIRCLE = re.compile(
-    r"^\s*circle\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s+d\s*=\s*([-+0-9.eE]+)\s*\)\s*$",
-    re.IGNORECASE)
+def _legacy_latlon(token: str) -> tuple:
+    """"LAT,LON" -> (x, y). ParseUtils.ParseLatitudeLongitude semantics
+    (Io/ParseUtils.cs:162-191): exactly two comma-separated doubles,
+    surrounding spaces trimmed, lat/lon range-validated."""
+    parts = token.split(",")
+    if len(parts) != 2 or not parts[0].strip() or not parts[1].strip():
+        raise WktParseError(
+            f"incompatible dimension (2) and values ({token})")
+    lat = float(parts[0].strip())
+    lon = float(parts[1].strip())
+    if lat < -90.0 or lat > 90.0:
+        raise WktParseError(f"Invalid latitude: latitudes are range -90 to "
+                            f"90: provided lat: [{lat}]")
+    if lon < -180.0 or lon > 180.0:
+        raise WktParseError(f"Invalid longitude: longitudes are range -180 "
+                            f"to 180: provided lon: [{lon}]")
+    return lon, lat
 
 
 def parse_legacy(text: str, geo: bool = True) -> dict:
-    """Legacy shape grammar: "X Y" point, "minX minY maxX maxY" rect,
-    "Circle(x y d=r)" circle (LegacyShapeReadWriterFormat.cs:46-96).
+    """Legacy shape grammar (LegacyShapeReadWriterFormat.cs:110-209):
+
+    - "X Y" point / "minX minY maxX maxY" rect (>4 numbers -> error);
+    - "LAT,LON" comma point (ParseUtils lat,lon order, range-checked);
+    - "Circle(x y d=r)" with the keyword spelled `d` or `distance`, a
+      BARE radius token ("Circle(x y r)"), or a "LAT,LON" first token
+      ("CIRCLE( 4.56,1.23 d=7.89 )" centers at x=1.23 y=4.56); extra
+      tokens, unknown keys and a missing radius raise like the
+      reference's InvalidShapeException paths.
+
+    The reference's reader is case-exact on "Circle("/"CIRCLE(";
+    here any case is accepted (the engine has no second-chance WKT
+    fallback chain on this path, so lowercase 'circle(' would
+    otherwise turn into a confusing number-parse error).
     """
-    m = _LEGACY_CIRCLE.match(text)
-    if m:
-        return _mk_circle(float(m.group(1)), float(m.group(2)),
-                          float(m.group(3)), geo)
-    parts = text.split()
+    s = text.strip()
+    if not s:
+        raise WktParseError("empty legacy shape")
+    if s[0].isalpha():
+        low = s[:7].lower()
+        if low == "circle(":
+            idx = s.rfind(")")
+            if idx <= 0:
+                raise WktParseError(f"unknown legacy shape: {text[:50]!r}")
+            tokens = s[7:idx].split()
+            if len(tokens) < 2:
+                raise WktParseError(f"Missing Distance: {text[:50]!r}")
+            if "," in tokens[0]:
+                cx, cy = _legacy_latlon(tokens[0])
+                next_tok = 1
+            else:
+                if len(tokens) < 3:
+                    raise WktParseError(f"Missing Distance: {text[:50]!r}")
+                cx = float(tokens[0])
+                cy = float(tokens[1])
+                next_tok = 2
+            arg = tokens[next_tok]
+            eq = arg.find("=")
+            if eq > 0:
+                key = arg[:eq]
+                if key not in ("d", "distance"):
+                    raise WktParseError(f"unknown arg: {key} :: {text[:50]!r}")
+                radius = float(arg[eq + 1:])
+            else:
+                radius = float(arg)
+            if next_tok < len(tokens) - 1:
+                raise WktParseError(
+                    f"Extra arguments: {tokens[next_tok + 1]} :: {text[:50]!r}")
+            return _mk_circle(cx, cy, radius, geo)
+        raise WktParseError(f"unknown legacy shape: {text[:50]!r}")
+    if "," in s:
+        x, y = _legacy_latlon(s)
+        return _mk_point(x, y)
+    parts = s.split()
     if len(parts) == 2:
         return _mk_point(float(parts[0]), float(parts[1]))
     if len(parts) == 4:
         # legacy arg order: minX minY maxX maxY
         return _mk_rect(float(parts[0]), float(parts[2]),
                         float(parts[1]), float(parts[3]), geo)
-    raise WktParseError(f"unknown legacy shape: {text[:50]!r}")
+    raise WktParseError(
+        f"Only 4 numbers supported (rect) but found more: {text[:50]!r}")
 
 
 def parse_legacy_columns(texts, geo: bool = True) -> dict:
