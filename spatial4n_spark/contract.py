@@ -609,7 +609,7 @@ def q_polygon_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = supplier_triangles(spark, sf_dir)
     pts = customer_points(spark, sf_dir)
     plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None, max_cover_cells=4096)
-    out = point_in_shape_join(pts, polys, plan)
+    out = point_in_shape_join(pts, polys, plan, shape_id="poly_id")
     return out.select("c_custkey", "poly_id")
 
 

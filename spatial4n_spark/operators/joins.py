@@ -73,12 +73,31 @@ def with_shape_cover(shapes: DataFrame, shape_col: str = "shape",
 def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
                         point_x: str = "x", point_y: str = "y",
                         shape_col: str = "shape",
-                        how: str = "inner") -> DataFrame:
+                        how: str = "inner",
+                        shape_id: str | None = None) -> DataFrame:
     """Spatial join: rows where shape covers point (relate == CONTAINS).
 
     `how`: inner (pairs), leftsemi (points hitting any shape),
     leftanti (points hitting none).
+
+    `shape_id`: name of a unique shape-key column. When given (and the
+    plan broadcasts), the join switches to the CLOSURE REFINE: the
+    layer's vertex arrays are collected once into a table captured by
+    the refine UDF, the broadcast side slims to (id, bbox, cover_cell),
+    and the Arrow refine input shrinks to (id, x, y) — instead of
+    shipping each shape's full vertex arrays once per candidate row
+    (the dominant Arrow payload when big polygons meet many points).
+    Output carries the point columns + shape_id + relation (no shape
+    struct). Falls back to the struct path above 2M total vertices.
     """
+    if (shape_id is not None and plan.broadcast_shapes
+            and not (plan.shape_kinds is not None
+                     and set(plan.shape_kinds) <= {2})):
+        out = _point_in_shape_join_closure(points, shapes, plan,
+                                           point_x, point_y, shape_col,
+                                           shape_id)
+        if out is not None:
+            return _project_how(out, points, how)
     pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
     cover = with_shape_cover(shapes, shape_col, plan.precision, codes=True)
 
@@ -101,6 +120,46 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
                                plan.shape_kinds)
     refined = refined.drop("cover_cell", "__salt")
     return _project_how(refined, points, how)
+
+
+def _point_in_shape_join_closure(points: DataFrame, shapes: DataFrame,
+                                 plan: JoinPlan, point_x: str, point_y: str,
+                                 shape_col: str, shape_id: str) -> DataFrame | None:
+    """Closure-refine variant (see point_in_shape_join's shape_id doc).
+    Returns None when the layer is too big for a task closure — the
+    caller then runs the struct path."""
+    from .refine import collect_shape_table, make_closure_refine
+    table = collect_shape_table(shapes, shape_id, shape_col)
+    if table is None:
+        return None
+    refine_udf = make_closure_refine(table)
+
+    s = F.col(shape_col)
+    slim = shapes.select(
+        shape_id,
+        s["minx"].alias("__minx"), s["maxx"].alias("__maxx"),
+        s["miny"].alias("__miny"), s["maxy"].alias("__maxy"))
+    cover = (slim.withColumn("cover_cell", F.explode_outer(
+                 SF.st_cover_codes_col(F.col("__minx"), F.col("__maxx"),
+                                       F.col("__miny"), F.col("__maxy"),
+                                       plan.precision)))
+                 .where(F.col("cover_cell").isNotNull()))
+    pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
+    joined = pts.join(F.broadcast(cover),
+                      pts["cell_id"] == cover["cover_cell"], "inner")
+
+    px, py = F.col(point_x), F.col(point_y)
+    maxx_u = F.when(F.col("__maxx") < F.col("__minx"),
+                    F.col("__maxx") + 360.0).otherwise(F.col("__maxx"))
+    px_shift = F.when(px < F.col("__minx"), px + 360.0).otherwise(
+        F.when(px > maxx_u, px - 360.0).otherwise(px))
+    bbox_ok = ((py >= F.col("__miny")) & (py <= F.col("__maxy"))
+               & (px_shift >= F.col("__minx")) & (px_shift <= maxx_u))
+    gated = joined.where(bbox_ok)
+    refined = (gated
+               .where(refine_udf(F.col(shape_id), px, py) == REL.CONTAINS)
+               .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
+    return refined.drop("cover_cell", "__minx", "__maxx", "__miny", "__maxy")
 
 
 def _gate_and_refine(joined: DataFrame, shape_col: str,

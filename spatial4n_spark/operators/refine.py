@@ -1,0 +1,109 @@
+"""Closure-captured relate refine for broadcast-size shape layers.
+
+The struct refine path (`functions.st_relate_shape_point`) ships every
+shape column — including the POLYGON VERTEX ARRAYS — through Arrow once
+per candidate row. For a triangle that is noise; for an admin boundary
+with 10^4 vertices replicated across 10^6 candidate points it is the
+dominant Arrow payload of the whole join, paid per row, per batch.
+
+When the shape side is broadcast-small anyway (the layer already fits
+on every executor by definition), collect it ONCE to a driver-side
+table keyed by the caller's shape-id column and capture that table in
+the refine UDF's closure: the join then carries only (shape_id, bbox)
+and the refine input shrinks to three scalar columns (id, x, y). The
+table ships with the serialized task — the same bytes the broadcast
+was already paying — and each executor deserializes it once per task
+instead of once per candidate row.
+
+Dispatch inside the UDF mirrors `_st_relate_shape_point_udf`: rows
+group by shape id, each group runs the vectorized kernel for that
+shape's kind in one NumPy call.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ByteType
+
+from ..kernels import relation as REL
+from ..kernels import wkt as _wkt
+
+# guard: beyond this many total vertices the closure (shipped per task)
+# stops being "broadcast-small"; callers fall back to the struct path
+MAX_CLOSURE_VERTICES = 2_000_000
+
+
+def collect_shape_table(shapes: DataFrame, shape_id: str,
+                        shape_col: str = "shape"):
+    """One driver-side pass over the (broadcast-small) shape layer ->
+    {id: (kind, x, y, radius, minx, maxx, miny, maxy, xs, ys, ro)}.
+    Returns None when the layer exceeds MAX_CLOSURE_VERTICES (caller
+    should use the struct refine instead)."""
+    rows = shapes.select(shape_id, shape_col).collect()
+    table = {}
+    total_verts = 0
+    for r in rows:
+        s = r[1]
+        xs = np.asarray(s["xs"], dtype=np.float64) if s["xs"] is not None else None
+        ys = np.asarray(s["ys"], dtype=np.float64) if s["ys"] is not None else None
+        ro = (np.asarray(s["ring_offsets"], dtype=np.int64)
+              if s["ring_offsets"] is not None else None)
+        if xs is not None:
+            total_verts += len(xs)
+            if total_verts > MAX_CLOSURE_VERTICES:
+                return None
+        table[r[0]] = (s["kind"], s["x"], s["y"], s["radius"],
+                       s["minx"], s["maxx"], s["miny"], s["maxy"],
+                       xs, ys, ro)
+    return table
+
+
+def make_closure_refine(table: dict):
+    """Pandas UDF (shape_id, px, py) -> relation code, with the shape
+    table captured in the closure."""
+    from ..kernels.pip import points_in_polygon
+    from ..kernels.relate_circle import relate_circle_point
+    from ..kernels.relate_line import linestring_contains_point
+    from ..kernels.relate_rect import relate_rect_point
+
+    def refine(ids: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        n = len(ids)
+        out = np.full(n, REL.DISJOINT, dtype=np.int8)
+        idv = ids.to_numpy()
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        order = np.argsort(idv, kind="stable")
+        sorted_ids = idv[order]
+        bounds = np.nonzero(np.r_[True, sorted_ids[1:] != sorted_ids[:-1]])[0]
+        bounds = np.r_[bounds, n]
+        for b in range(len(bounds) - 1):
+            rows = order[bounds[b]:bounds[b + 1]]
+            rec = table.get(sorted_ids[bounds[b]])
+            if rec is None:
+                continue
+            (kind, sx, sy, rad, minx, maxx, miny, maxy, xs, ys, ro) = rec
+            gx, gy = pxv[rows], pyv[rows]
+            if kind == _wkt.KIND_RECT:
+                out[rows] = relate_rect_point(
+                    np.full(len(rows), minx), np.full(len(rows), maxx),
+                    np.full(len(rows), miny), np.full(len(rows), maxy),
+                    gx, gy, geo=True)
+            elif kind == _wkt.KIND_CIRCLE:
+                out[rows] = relate_circle_point(
+                    np.full(len(rows), sx), np.full(len(rows), sy),
+                    np.full(len(rows), rad), gx, gy, geo=True)
+            elif kind == _wkt.KIND_POINT:
+                hit = (gx == sx) & (gy == sy)
+                out[rows] = np.where(hit, REL.CONTAINS, REL.DISJOINT)
+            elif kind in (_wkt.KIND_POLYGON, _wkt.KIND_MULTIPOLYGON):
+                hit = points_in_polygon(gx, gy, xs, ys, ro)
+                out[rows] = np.where(hit, REL.CONTAINS, REL.DISJOINT)
+            elif kind == _wkt.KIND_LINESTRING:
+                hit = linestring_contains_point(xs, ys, float(rad or 0.0),
+                                                gx, gy)
+                out[rows] = np.where(hit, REL.CONTAINS, REL.DISJOINT)
+        return pd.Series(out)
+
+    return pandas_udf(refine, ByteType())

@@ -134,7 +134,8 @@ def zonal_stats_poly(pixels: DataFrame, polys: DataFrame,
     plan = JoinPlan(precision=precision, broadcast_shapes=True, salt=None,
                     max_cover_cells=4096)
     j = point_in_shape_join(pixels, polys, plan,
-                            point_x="px_lon", point_y="px_lat")
+                            point_x="px_lon", point_y="px_lat",
+                            shape_id=zone_id)
     return (j.groupBy(zone_id)
              .agg(F.count("*").alias("px_count"),
                   F.sum("value").alias("px_sum"),

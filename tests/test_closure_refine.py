@@ -1,0 +1,75 @@
+"""Closure-refine join path == struct-refine path (set equality).
+
+The closure path collects the broadcast-small shape layer into a
+task-closure table and refines on (shape_id, x, y) only — the join
+must produce exactly the same (point, shape) pairs as the struct path
+that ships vertex arrays per candidate row, across every shape kind
+and the dateline.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+WKTS = [
+    (1, "POLYGON((-10 -10, 30 -10, 10 25, -10 -10))"),
+    (2, "POLYGON((170 -20, -170 -20, -175 20, 170 -20))"),     # dateline
+    (3, "BUFFER(POINT(50 10), 8)"),                            # circle
+    (4, "ENVELOPE(-60, -20, 40, 5)"),                          # rect
+    (5, "BUFFER(LINESTRING(100 0, 120 10, 140 0), 3)"),        # buffered line
+    (6, "POLYGON((0 50, 20 50, 20 70, 0 70, 0 50),"
+        " (5 55, 15 55, 15 65, 5 65, 5 55))"),                 # hole
+]
+
+
+def test_closure_refine_matches_struct_path(spark):
+    from spatial4n_spark import functions as SF
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(-179.9, 179.9, 5000)
+    lat = rng.uniform(-80, 80, 5000)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+        "pid int, x double, y double")
+    shapes = (spark.createDataFrame(WKTS, "sid int, wkt string")
+              .withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+              .select("sid", "shape"))
+
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    struct_pairs = {(r["pid"], r["sid"]) for r in
+                    point_in_shape_join(pts, shapes, plan)
+                    .select("pid", "sid").collect()}
+    closure_pairs = {(r["pid"], r["sid"]) for r in
+                     point_in_shape_join(pts, shapes, plan, shape_id="sid")
+                     .select("pid", "sid").collect()}
+    assert closure_pairs == struct_pairs
+    assert len(struct_pairs) > 100  # non-trivial corpus
+
+
+def test_closure_refine_falls_back_when_layer_too_big(spark, monkeypatch):
+    """Above the vertex cap the join silently uses the struct path."""
+    from spatial4n_spark import functions as SF
+    from spatial4n_spark.operators import refine
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+
+    monkeypatch.setattr(refine, "MAX_CLOSURE_VERTICES", 3)
+    pts = spark.createDataFrame([(0, 5.0, 5.0)], "pid int, x double, y double")
+    shapes = (spark.createDataFrame(
+        [(1, "POLYGON((-10 -10, 30 -10, 10 25, -10 -10))")], "sid int, wkt string")
+        .withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+        .select("sid", "shape"))
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    out = point_in_shape_join(pts, shapes, plan, shape_id="sid")
+    assert [(r["pid"], r["sid"]) for r in out.select("pid", "sid").collect()] \
+        == [(0, 1)]
