@@ -415,7 +415,8 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
                      left_shape: str = "lshape", right_shape: str = "rshape",
                      broadcast_right: bool = True,
                      predicate: str = "intersects",
-                     salt: int | None = None) -> DataFrame:
+                     salt: int | None = None,
+                     right_id: str | None = None) -> DataFrame:
     """Distributed polygon(shape) x polygon(shape) spatial join.
 
     The two-layer join (admin boundaries x land parcels) — both sides
@@ -441,9 +442,23 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     side replicates across all buckets, and the equi-join key becomes
     (cell, salt), splitting a hot cell's probe rows across `salt`
     tasks. AQE skew-join (session.py) is the runtime backstop.
+
+    `right_id`: unique right-key column enabling the CLOSURE refine for
+    the broadcast-small right side (the admin-boundaries x parcels
+    asymmetry): the right layer's vertex arrays are collected once into
+    the relate UDF's closure, the broadcast carries only (id, bbox),
+    and per candidate pair only the LEFT shape's arrays cross Arrow.
+    Output then carries left columns + right_id (+ relation), no right
+    struct. Falls back to the struct path above the vertex cap.
     """
     from .. import functions as SF
     from ..kernels import relation as REL
+
+    if right_id is not None and broadcast_right:
+        out = _shape_shape_join_closure(left, right, precision, left_shape,
+                                        right_shape, predicate, right_id)
+        if out is not None:
+            return out
 
     ls, rs = F.col(left_shape), F.col(right_shape)
     # Per-side min-corner axis indices are PRECOMPUTED in this projection
@@ -500,6 +515,64 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0"))
 
     return _apply_shape_predicate(gated, ls, rs, predicate)
+
+
+def _shape_shape_join_closure(left: DataFrame, right: DataFrame,
+                              precision: int, left_shape: str,
+                              right_shape: str, predicate: str,
+                              right_id: str) -> DataFrame | None:
+    """Closure-right variant of shape_shape_join (see right_id doc).
+    Returns None when the right layer exceeds the vertex cap."""
+    from .. import functions as SF
+    from ..kernels import relation as REL
+    from .refine import collect_shape_table, make_closure_shape_relate
+
+    table = collect_shape_table(right, right_id, right_shape)
+    if table is None:
+        return None
+    relate_udf = make_closure_shape_relate(table)
+
+    ls, rs = F.col(left_shape), F.col(right_shape)
+    lc = (left.withColumn("__lli0", SF.st_axis_idx_col(ls["minx"], "lon", precision))
+              .withColumn("__lti0", SF.st_axis_idx_col(ls["miny"], "lat", precision))
+              .withColumn("__cells", SF.st_cover_codes(
+                  ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
+              .withColumn("__cell", F.explode_outer("__cells")).drop("__cells")
+              .where(F.col("__cell").isNotNull()))
+    slim = right.select(
+        right_id,
+        rs["minx"].alias("__rminx"), rs["maxx"].alias("__rmaxx"),
+        rs["miny"].alias("__rminy"), rs["maxy"].alias("__rmaxy"))
+    rc = (slim.withColumn("__rli0", SF.st_axis_idx_col(F.col("__rminx"), "lon", precision))
+              .withColumn("__rti0", SF.st_axis_idx_col(F.col("__rminy"), "lat", precision))
+              .withColumn("__cells", SF.st_cover_codes(
+                  F.col("__rminx"), F.col("__rmaxx"),
+                  F.col("__rminy"), F.col("__rmaxy"), precision))
+              .withColumn("__cell", F.explode_outer("__cells")).drop("__cells")
+              .where(F.col("__cell").isNotNull()))
+    j = lc.join(F.broadcast(rc), "__cell", "inner")
+
+    bbox_ok = ((ls["minx"] <= F.col("__rmaxx")) & (ls["maxx"] >= F.col("__rminx"))
+               & (ls["miny"] <= F.col("__rmaxy")) & (ls["maxy"] >= F.col("__rminy")))
+    ref_cell = SF.st_morton_col(F.greatest(F.col("__lli0"), F.col("__rli0")),
+                                F.greatest(F.col("__lti0"), F.col("__rti0")),
+                                precision)
+    gated = (j.where(bbox_ok & (F.col("__cell") == ref_cell))
+              .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0",
+                    "__rminx", "__rmaxx", "__rminy", "__rmaxy"))
+
+    rel = relate_udf(ls["xs"], ls["ys"], ls["ring_offsets"], F.col(right_id))
+    if predicate == "all":
+        return gated.withColumn("relation", rel.cast("int"))
+    if predicate == "intersects":
+        cond = rel != REL.DISJOINT
+    elif predicate == "contains":
+        cond = rel == REL.CONTAINS
+    elif predicate == "within":
+        cond = rel == REL.WITHIN
+    else:
+        raise ValueError(predicate)
+    return gated.where(cond)
 
 
 def _apply_shape_predicate(gated: DataFrame, ls, rs, predicate: str) -> DataFrame:

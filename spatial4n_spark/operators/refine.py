@@ -107,3 +107,34 @@ def make_closure_refine(table: dict):
         return pd.Series(out)
 
     return pandas_udf(refine, ByteType())
+
+
+def make_closure_shape_relate(table: dict):
+    """Pandas UDF (left xs, ys, ring_offsets, right_id) -> relation
+    code, with the RIGHT layer's vertex arrays captured in the closure
+    (two-layer join, broadcast-small right side): per candidate pair
+    only the LEFT shape's arrays cross Arrow."""
+    from ..kernels.pip import relate_polygon_polygon
+
+    def relate(axs: pd.Series, ays: pd.Series, aro: pd.Series,
+               rid: pd.Series) -> pd.Series:
+        n = len(axs)
+        out = np.full(n, REL.DISJOINT, dtype=np.int8)
+        axv = axs.to_numpy()
+        ayv = ays.to_numpy()
+        arv = aro.to_numpy()
+        ridv = rid.to_numpy()
+        for i in range(n):
+            rec = table.get(ridv[i])
+            if rec is None:
+                continue
+            bxs, bys, bro = rec[8], rec[9], rec[10]
+            ar = arv[i]
+            out[i] = relate_polygon_polygon(
+                np.asarray(axv[i], dtype=np.float64),
+                np.asarray(ayv[i], dtype=np.float64),
+                np.asarray(ar, dtype=np.int64) if ar is not None else None,
+                bxs, bys, bro)
+        return pd.Series(out)
+
+    return pandas_udf(relate, ByteType())
