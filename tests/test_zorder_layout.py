@@ -1,0 +1,91 @@
+"""Z-order clustered layout: correctness, pushdown, and provable
+file-level skippability from parquet footer stats."""
+import glob
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+BBOX = (12.0, 18.0, 40.0, 46.0)  # minx, maxx, miny, maxy (6x6 deg)
+
+
+@pytest.fixture(scope="module")
+def zpath(spark, tmp_path_factory):
+    from spatial4n_spark.sources.zorder import write_zordered
+    pts = (spark.range(200_000)
+           .select("id",
+                   (F.pmod(F.col("id") * 7919, F.lit(360_000)) / 1000.0 - 180.0).alias("x"),
+                   (F.pmod(F.col("id") * 104729, F.lit(170_000)) / 1000.0 - 85.0).alias("y")))
+    path = str(tmp_path_factory.mktemp("zorder") / "pts")
+    write_zordered(pts, path, precision=6, n_files=16)
+    return path
+
+
+def test_read_bbox_matches_bruteforce(spark, zpath):
+    from spatial4n_spark.sources.zorder import read_bbox
+    minx, maxx, miny, maxy = BBOX
+    got = {r["id"] for r in
+           read_bbox(spark, zpath, minx, maxx, miny, maxy,
+                     stored_precision=6).select("id").collect()}
+    raw = spark.read.parquet(zpath)
+    want = {r["id"] for r in raw.where(
+        (F.col("x") >= minx) & (F.col("x") <= maxx)
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)).select("id").collect()}
+    assert got == want and len(want) > 50
+
+
+def test_code_predicate_reaches_parquet_scan(spark, zpath):
+    from spatial4n_spark.sources.zorder import read_bbox
+    df = read_bbox(spark, zpath, *BBOX, stored_precision=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PushedFilters")
+    assert i >= 0
+    assert "cell_id" in plan[i:i + 2000], plan[i:i + 2000]
+
+
+def test_range_count_is_bounded_for_any_bbox():
+    """The predicate builder must never emit an unbounded OR chain
+    (a 630-leg left-deep Column tree overflows the converter stack)."""
+    from spatial4n_spark.sources.zorder import bbox_code_ranges
+    for bbox in [(12.0, 18.0, 40.0, 46.0),      # mid-size
+                 (-180.0, 180.0, -90.0, 90.0),  # world
+                 (0.0, 0.01, 0.0, 0.01),        # tiny
+                 (-179.0, 179.0, -1.0, 1.0)]:   # long thin band
+        ranges = bbox_code_ranges(*bbox, stored_precision=6, max_ranges=32)
+        assert 1 <= len(ranges) <= 32, (bbox, len(ranges))
+        for (a, b), (c, d) in zip(ranges, ranges[1:]):
+            assert a <= b and b < c  # sorted, disjoint
+
+
+def test_files_are_disjoint_and_bbox_touches_few(zpath):
+    """Footer stats prove the skip: files' cell_id ranges are pairwise
+    disjoint (range partitioner), and the bbox predicate intersects
+    only a small fraction of them — the reader never opens the rest."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    from spatial4n_spark.sources.zorder import bbox_code_ranges
+
+    ranges = []
+    for f in glob.glob(os.path.join(zpath, "part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "cell_id":
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((lo, hi))
+    assert len(ranges) >= 8
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # pairwise disjoint (boundary may touch)
+
+    legs = bbox_code_ranges(*BBOX, stored_precision=6)
+    touched = sum(1 for lo, hi in ranges
+                  if any(not (hi < llo or lo > lhi) for llo, lhi in legs))
+    assert touched <= len(ranges) // 4, (touched, len(ranges))
