@@ -89,3 +89,31 @@ def test_files_are_disjoint_and_bbox_touches_few(zpath):
     touched = sum(1 for lo, hi in ranges
                   if any(not (hi < llo or lo > lhi) for llo, lhi in legs))
     assert touched <= len(ranges) // 4, (touched, len(ranges))
+
+
+def test_clustered_scan_reads_small_fraction(spark, zpath):
+    """Row-group pruning measured on the SAME executed plan: the scan
+    node's numOutputRows (rows actually decoded off disk) must be a
+    small fraction of the table for a city-size bbox."""
+    from spatial4n_spark.sources.zorder import read_bbox
+
+    df = read_bbox(spark, zpath, *BBOX, stored_precision=6)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    rows = []
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows.append(kv._2().value())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+    walk(plan)
+    assert rows, "no scan metric found"
+    # at 16 files x ~12.5k rows the prune granularity is 1-2 files
+    # (~25k rows); at production file counts the fraction tracks
+    # bbox_area/world_area (scripts/bench_zorder.py: 0.4% at 64 files)
+    assert sum(rows) <= 200_000 * 0.20, rows  # >=80% of rows never decoded
