@@ -111,3 +111,46 @@ def read_bbox(spark: SparkSession, path: str,
     exact = ((F.col(x) >= minx) & (F.col(x) <= maxx)
              & (F.col(y) >= miny) & (F.col(y) <= maxy))
     return df.where(coarse & exact)
+
+
+def read_shape(spark: SparkSession, path: str, wkt: str,
+               stored_precision: int = 6,
+               x: str = "x", y: str = "y",
+               max_ranges: int = 32) -> DataFrame:
+    """Pruned scan for an arbitrary WKT shape: the shape's bbox turns
+    into pushed code ranges (row-group skip), then the exact relate
+    kernel refines — polygon/circle/line/rect all via the closure
+    refine (the single parsed shape rides the UDF closure; the scan
+    ships only x, y).
+
+    The composition IS the point of the layout: any shape query costs
+    O(bbox ∩ data) scan + O(survivors) refine, independent of table
+    size.
+    """
+    from ..kernels.relation import CONTAINS
+    from ..kernels.wkt import parse_shape
+    from ..operators.refine import make_closure_refine
+
+    rec = parse_shape(wkt)
+    table = {0: (rec["kind"], rec.get("x"), rec.get("y"), rec.get("radius"),
+                 rec["minx"], rec["maxx"], rec["miny"], rec["maxy"],
+                 _np_or_none(rec.get("xs")), _np_or_none(rec.get("ys")),
+                 _np_int_or_none(rec.get("ring_offsets")))}
+    refine = make_closure_refine(table)
+
+    df = spark.read.parquet(path)
+    coarse = bbox_code_predicate(rec["minx"], rec["maxx"],
+                                 rec["miny"], rec["maxy"],
+                                 stored_precision, max_ranges)
+    return (df.where(coarse)
+              .where(refine(F.lit(0), F.col(x), F.col(y)) == int(CONTAINS)))
+
+
+def _np_or_none(v):
+    import numpy as np
+    return np.asarray(v, dtype=np.float64) if v is not None else None
+
+
+def _np_int_or_none(v):
+    import numpy as np
+    return np.asarray(v, dtype=np.int64) if v is not None else None

@@ -117,3 +117,38 @@ def test_clustered_scan_reads_small_fraction(spark, zpath):
     # (~25k rows); at production file counts the fraction tracks
     # bbox_area/world_area (scripts/bench_zorder.py: 0.4% at 64 files)
     assert sum(rows) <= 200_000 * 0.20, rows  # >=80% of rows never decoded
+
+
+def test_read_shape_polygon_and_circle(spark, zpath):
+    """read_shape (pruned scan + closure refine) == local kernel over
+    the full table, for a polygon and a circle."""
+    import numpy as np
+    from spatial4n_spark.kernels.pip import points_in_polygon
+    from spatial4n_spark.kernels.relate_circle import relate_circle_point
+    from spatial4n_spark.kernels.relation import CONTAINS
+    from spatial4n_spark.kernels.wkt import parse_shape
+    from spatial4n_spark.sources.zorder import read_shape
+
+    raw = spark.read.parquet(zpath).select("id", "x", "y").collect()
+    ids = np.array([r["id"] for r in raw])
+    xs = np.array([r["x"] for r in raw])
+    ys = np.array([r["y"] for r in raw])
+
+    poly = "POLYGON((10 38, 25 38, 18 50, 10 38))"
+    rec = parse_shape(poly)
+    inside = points_in_polygon(xs, ys, np.asarray(rec["xs"]),
+                               np.asarray(rec["ys"]), rec["ring_offsets"])
+    want = set(ids[inside].tolist())
+    got = {r["id"] for r in read_shape(spark, zpath, poly,
+                                       stored_precision=6).select("id").collect()}
+    assert got == want and len(want) > 20
+
+    circle = "BUFFER(POINT(17 44), 5)"
+    rec = parse_shape(circle)
+    rel = relate_circle_point(np.full(len(xs), rec["x"]),
+                              np.full(len(xs), rec["y"]),
+                              np.full(len(xs), rec["radius"]), xs, ys, geo=True)
+    want = set(ids[rel == CONTAINS].tolist())
+    got = {r["id"] for r in read_shape(spark, zpath, circle,
+                                       stored_precision=6).select("id").collect()}
+    assert got == want and len(want) > 20
