@@ -299,12 +299,27 @@ def _st_relate_shape_point_udf(kind: pd.Series, x: pd.Series, y: pd.Series,
             out[rows] = np.where(hit, _rel.CONTAINS, _rel.DISJOINT)
     m = kd == _wkt.KIND_LINESTRING
     if m.any():
-        for i in np.nonzero(m)[0]:
-            vx = np.asarray(xs.iloc[i], dtype=np.float64)
-            vy = np.asarray(ys.iloc[i], dtype=np.float64)
-            hit = linestring_contains_point(vx, vy, float(radius.iloc[i]),
-                                            pxv[i:i + 1], pyv[i:i + 1])[0]
-            out[i] = _rel.CONTAINS if hit else _rel.DISJOINT
+        # same per-shape grouping as the polygon branch: joins replicate
+        # one line across many candidate points, so batch each line's
+        # points into ONE kernel call instead of a per-row loop.
+        idxs = np.nonzero(m)[0]
+        xs_np = xs.to_numpy()
+        ys_np = ys.to_numpy()
+        rad_np = radius.to_numpy(dtype=np.float64, na_value=0.0)
+        groups: dict = {}
+        setd = groups.setdefault
+        for i in idxs:
+            vx = xs_np[i]
+            setd((len(vx), vx[0], vx[-1], ys_np[i][0], rad_np[i]),
+                 []).append(i)
+        for rows in groups.values():
+            i0 = rows[0]
+            vx = np.asarray(xs_np[i0], dtype=np.float64)
+            vy = np.asarray(ys_np[i0], dtype=np.float64)
+            rows = np.asarray(rows)
+            hit = linestring_contains_point(vx, vy, rad_np[i0],
+                                            pxv[rows], pyv[rows])
+            out[rows] = np.where(hit, _rel.CONTAINS, _rel.DISJOINT)
     return pd.Series(out)
 
 
