@@ -122,6 +122,34 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     return _project_how(refined, points, how)
 
 
+def _slim_bbox(shapes: DataFrame, shape_col: str, shape_id: str) -> DataFrame:
+    """Project the shape layer down to (id, bbox) — the only columns
+    the closure-path join carries; vertex arrays stay in the closure."""
+    s = F.col(shape_col)
+    return shapes.select(
+        shape_id,
+        s["minx"].alias("__minx"), s["maxx"].alias("__maxx"),
+        s["miny"].alias("__miny"), s["maxy"].alias("__maxy"))
+
+
+def _closure_gate_refine(joined: DataFrame, shape_id: str,
+                         point_x: str, point_y: str, refine_udf) -> DataFrame:
+    """Dateline-aware bbox gate over the slim __min/__max columns, then
+    the closure refine — the tail shared by the fixed-level and
+    adaptive closure paths."""
+    px, py = F.col(point_x), F.col(point_y)
+    maxx_u = F.when(F.col("__maxx") < F.col("__minx"),
+                    F.col("__maxx") + 360.0).otherwise(F.col("__maxx"))
+    px_shift = F.when(px < F.col("__minx"), px + 360.0).otherwise(
+        F.when(px > maxx_u, px - 360.0).otherwise(px))
+    bbox_ok = ((py >= F.col("__miny")) & (py <= F.col("__maxy"))
+               & (px_shift >= F.col("__minx")) & (px_shift <= maxx_u))
+    refined = (joined.where(bbox_ok)
+               .where(refine_udf(F.col(shape_id), px, py) == REL.CONTAINS)
+               .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
+    return refined.drop("cover_cell", "__minx", "__maxx", "__miny", "__maxy")
+
+
 def _point_in_shape_join_closure(points: DataFrame, shapes: DataFrame,
                                  plan: JoinPlan, point_x: str, point_y: str,
                                  shape_col: str, shape_id: str) -> DataFrame | None:
@@ -134,11 +162,7 @@ def _point_in_shape_join_closure(points: DataFrame, shapes: DataFrame,
         return None
     refine_udf = make_closure_refine(table)
 
-    s = F.col(shape_col)
-    slim = shapes.select(
-        shape_id,
-        s["minx"].alias("__minx"), s["maxx"].alias("__maxx"),
-        s["miny"].alias("__miny"), s["maxy"].alias("__maxy"))
+    slim = _slim_bbox(shapes, shape_col, shape_id)
     cover = (slim.withColumn("cover_cell", F.explode_outer(
                  SF.st_cover_codes_col(F.col("__minx"), F.col("__maxx"),
                                        F.col("__miny"), F.col("__maxy"),
@@ -147,19 +171,7 @@ def _point_in_shape_join_closure(points: DataFrame, shapes: DataFrame,
     pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
     joined = pts.join(F.broadcast(cover),
                       pts["cell_id"] == cover["cover_cell"], "inner")
-
-    px, py = F.col(point_x), F.col(point_y)
-    maxx_u = F.when(F.col("__maxx") < F.col("__minx"),
-                    F.col("__maxx") + 360.0).otherwise(F.col("__maxx"))
-    px_shift = F.when(px < F.col("__minx"), px + 360.0).otherwise(
-        F.when(px > maxx_u, px - 360.0).otherwise(px))
-    bbox_ok = ((py >= F.col("__miny")) & (py <= F.col("__maxy"))
-               & (px_shift >= F.col("__minx")) & (px_shift <= maxx_u))
-    gated = joined.where(bbox_ok)
-    refined = (gated
-               .where(refine_udf(F.col(shape_id), px, py) == REL.CONTAINS)
-               .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
-    return refined.drop("cover_cell", "__minx", "__maxx", "__miny", "__maxy")
+    return _closure_gate_refine(joined, shape_id, point_x, point_y, refine_udf)
 
 
 def _gate_and_refine(joined: DataFrame, shape_col: str,
@@ -213,7 +225,8 @@ def point_in_shape_join_adaptive(points: DataFrame, shapes: DataFrame,
                                  broadcast_shapes: bool = True,
                                  salt: int | None = None,
                                  shape_kinds: tuple | None = None,
-                                 how: str = "inner") -> DataFrame:
+                                 how: str = "inner",
+                                 shape_id: str | None = None) -> DataFrame:
     """Multi-level (adaptive) point-in-shape join.
 
     The fixed-level join degrades when shape sizes span orders of
@@ -244,11 +257,28 @@ def point_in_shape_join_adaptive(points: DataFrame, shapes: DataFrame,
     shuffle key (tagged cell) spreads hot regions across the finer
     levels. `salt` handles residual hot cells on the shuffle path, same
     scheme as point_in_shape_join.
+
+    `shape_id` (broadcast path only): switch to the closure refine —
+    same contract as point_in_shape_join(shape_id=): the layer's vertex
+    arrays ride the refine UDF's closure, the broadcast carries only
+    (id, bbox, tagged cover), output has point columns + shape_id +
+    relation. Falls back to the struct path above the vertex cap.
     """
-    s = F.col(shape_col)
+    closure_refine = None
+    if shape_id is not None and broadcast_shapes:
+        from .refine import collect_shape_table, make_closure_refine
+        table = collect_shape_table(shapes, shape_id, shape_col)
+        if table is not None:
+            closure_refine = make_closure_refine(table)
+            slim = _slim_bbox(shapes, shape_col, shape_id)
+            shapes = slim
+            cover_src = (F.col("__minx"), F.col("__maxx"),
+                         F.col("__miny"), F.col("__maxy"))
+    if closure_refine is None:
+        s = F.col(shape_col)
+        cover_src = (s["minx"], s["maxx"], s["miny"], s["maxy"])
     cover = (shapes.withColumn("__cells", SF.st_cover_codes_adaptive(
-                 s["minx"], s["maxx"], s["miny"], s["maxy"],
-                 min_level, max_level, cells_budget))
+                 *cover_src, min_level, max_level, cells_budget))
                    .withColumn("cover_cell", F.explode_outer("__cells"))
                    .drop("__cells")
                    .where(F.col("cover_cell").isNotNull()))
@@ -281,8 +311,12 @@ def point_in_shape_join_adaptive(points: DataFrame, shapes: DataFrame,
     else:
         join_cond = pts["cell_id"] == cover["cover_cell"]
     joined = pts.join(cover, join_cond, "inner")
-    refined = _gate_and_refine(joined, shape_col, point_x, point_y,
-                               shape_kinds)
+    if closure_refine is not None:
+        refined = _closure_gate_refine(joined, shape_id, point_x, point_y,
+                                       closure_refine)
+    else:
+        refined = _gate_and_refine(joined, shape_col, point_x, point_y,
+                                   shape_kinds)
     refined = refined.drop("cover_cell", "cell_id", "__salt")
     return _project_how(refined, points, how)
 

@@ -228,3 +228,19 @@ def test_shape_cover_single_udf_pass(mixed_corpus):
         F.col("shape.miny"), F.col("shape.maxy"), 2, 7)).alias("c"))
     plan_a = cov_a._jdf.queryExecution().executedPlan().toString()
     assert plan_a.count("ArrowEvalPython") == 1, plan_a
+
+
+def test_adaptive_closure_path_set_equal(spark, mixed_corpus):
+    """shape_id closure path == struct path on the mixed-size corpus
+    (incl. the dateline-crossing continental rect)."""
+    from spatial4n_spark.operators.joins import point_in_shape_join_adaptive
+    sdf, _, rdf, _ = mixed_corpus
+    a = point_in_shape_join_adaptive(sdf, rdf, min_level=3, max_level=7,
+                                     cells_budget=4)
+    b = point_in_shape_join_adaptive(sdf, rdf, min_level=3, max_level=7,
+                                     cells_budget=4, shape_id="rect_id")
+    sa = {(r["point_id"], r["rect_id"])
+          for r in a.select("point_id", "rect_id").collect()}
+    sb = {(r["point_id"], r["rect_id"])
+          for r in b.select("point_id", "rect_id").collect()}
+    assert sa == sb and len(sa) > 100
