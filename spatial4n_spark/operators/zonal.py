@@ -117,7 +117,9 @@ def zonal_stats(pixels: DataFrame, zones: DataFrame,
 
 
 def zonal_stats_poly(pixels: DataFrame, polys: DataFrame,
-                     zone_id: str = "poly_id", precision: int = 2) -> DataFrame:
+                     zone_id: str = "poly_id", precision: int = 2,
+                     broadcast: bool = True,
+                     salt: int | None = None) -> DataFrame:
     """Zonal stats over POLYGON zones (the general raster<->vector case).
 
     Same coarse/refine skeleton, but zones are shape structs (WKT-parsed
@@ -126,16 +128,22 @@ def zonal_stats_poly(pixels: DataFrame, polys: DataFrame,
     cover, JVM bbox gate, then the even-odd PIP kernel refine
     (kernels/pip.py, NtsGeometry.cs:260-275 semantics) — and the
     aggregate keys the zone id. Nothing here is polygon-count-bound:
-    the pixel side never shuffles (zone covers broadcast), and the
-    refine is one Arrow pass over gate survivors only.
+    on the default broadcast path the pixel side never shuffles (zone
+    covers broadcast + closure refine), and the refine is one Arrow
+    pass over gate survivors only.
+
+    `broadcast=False` is the huge-zone-layer regime (10^6+ zones): the
+    join shuffles both sides on the cell code (optionally salted for
+    hot cells) and the struct refine runs — pick it when the zone
+    layer itself is beyond executor memory.
     """
     from ..plans.strategy import JoinPlan
     from .joins import point_in_shape_join
-    plan = JoinPlan(precision=precision, broadcast_shapes=True, salt=None,
-                    max_cover_cells=4096)
+    plan = JoinPlan(precision=precision, broadcast_shapes=broadcast,
+                    salt=salt, max_cover_cells=4096)
     j = point_in_shape_join(pixels, polys, plan,
                             point_x="px_lon", point_y="px_lat",
-                            shape_id=zone_id)
+                            shape_id=(zone_id if broadcast else None))
     return (j.groupBy(zone_id)
              .agg(F.count("*").alias("px_count"),
                   F.sum("value").alias("px_sum"),

@@ -67,3 +67,32 @@ def test_zonal_stats_poly_matches_bruteforce(spark):
         if m.any():
             want[pid] = (int(m.sum()), int(val[m].sum()))
     assert got == want
+
+
+def test_zonal_stats_poly_shuffle_path_matches_broadcast(spark):
+    """broadcast=False (struct refine + shuffled cell join, the
+    huge-zone-layer regime) == the default broadcast/closure path."""
+    from spatial4n_spark import functions as SF
+    from spatial4n_spark.operators.zonal import zonal_stats_poly
+
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-170, 170, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    val = rng.randint(0, 255, 2000)
+    px = spark.createDataFrame(
+        [(float(a), float(b), int(v)) for a, b, v in zip(lon, lat, val)],
+        "px_lon double, px_lat double, value long")
+    rows = []
+    for pid, ring in POLYS.items():
+        wkt = "POLYGON((" + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]]) + "))"
+        rows.append((pid, wkt))
+    polys = (spark.createDataFrame(rows, "poly_id int, wkt string")
+             .withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+             .select("poly_id", "shape"))
+
+    a = {(r["poly_id"], r["px_count"], r["px_sum"]) for r in
+         zonal_stats_poly(px, polys, precision=2).collect()}
+    b = {(r["poly_id"], r["px_count"], r["px_sum"]) for r in
+         zonal_stats_poly(px, polys, precision=2, broadcast=False,
+                          salt=4).collect()}
+    assert a == b and len(a) >= 2
