@@ -45,6 +45,11 @@ def collect_shape_table(shapes: DataFrame, shape_id: str,
     table = {}
     total_verts = 0
     for r in rows:
+        if r[0] is None or r[0] in table:
+            # shape_id must be a unique non-null key: a duplicate would
+            # silently collapse two shapes onto one table entry and
+            # diverge from the struct path — fall back instead.
+            return None
         s = r[1]
         xs = np.asarray(s["xs"], dtype=np.float64) if s["xs"] is not None else None
         ys = np.asarray(s["ys"], dtype=np.float64) if s["ys"] is not None else None

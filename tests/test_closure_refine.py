@@ -73,3 +73,26 @@ def test_closure_refine_falls_back_when_layer_too_big(spark, monkeypatch):
     out = point_in_shape_join(pts, shapes, plan, shape_id="sid")
     assert [(r["pid"], r["sid"]) for r in out.select("pid", "sid").collect()] \
         == [(0, 1)]
+
+
+def test_closure_falls_back_on_duplicate_or_null_ids(spark):
+    """A non-unique (or null) shape_id must not silently collapse two
+    shapes onto one closure entry — the join falls back to the struct
+    path and keeps both shapes' results."""
+    from spatial4n_spark import functions as SF
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+
+    pts = spark.createDataFrame(
+        [(0, 5.0, 5.0), (1, 50.0, 5.0)], "pid int, x double, y double")
+    shapes = (spark.createDataFrame(
+        [(7, "POLYGON((-10 -10, 30 -10, 10 25, -10 -10))"),
+         (7, "POLYGON((40 -10, 80 -10, 60 25, 40 -10))")],
+        "sid int, wkt string")
+        .withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+        .select("sid", "shape"))
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    out = point_in_shape_join(pts, shapes, plan, shape_id="sid")
+    assert sorted((r["pid"], r["sid"]) for r in
+                  out.select("pid", "sid").collect()) == [(0, 7), (1, 7)]
