@@ -53,13 +53,23 @@ def bbox_code_ranges(minx: float, maxx: float, miny: float, maxy: float,
                      max_ranges: int = 32) -> list[tuple[int, int]]:
     """Merged, bounded [lo, hi] stored-code ranges covering the bbox.
 
-    Starts one level coarser than stored and coarsens until the MERGED
-    range count fits `max_ranges` (Morton adjacency collapses most of a
-    rectangular region's cells into runs, so the count drops fast).
+    The candidate level is picked from the O(1) cover COUNT
+    (`cover_counts_bbox`) before any enumeration — a world-size bbox
+    must not enumerate millions of fine cells just to discover it needs
+    level 1. Cells are then enumerated only at levels whose raw count
+    is already <= 8x max_ranges (Morton adjacency merges most of a
+    rectangular region's cells into runs, so the merged count lands
+    under the cap almost always; one coarsening step is the fallback).
     Each cover cell is one contiguous range of stored codes via the
     prefix property; merging adjacent runs loses no precision.
     """
+    from ..kernels.geohash import cover_counts_bbox
+
     for cover_precision in range(stored_precision - 1, 0, -1):
+        n_raw = int(cover_counts_bbox([minx], [maxx], [miny], [maxy],
+                                      cover_precision)[0])
+        if n_raw > 8 * max_ranges and cover_precision > 1:
+            continue
         shift = 5 * (stored_precision - cover_precision)
         codes = sorted(int(c) for c in cover_codes_bbox(
             minx, maxx, miny, maxy, cover_precision))

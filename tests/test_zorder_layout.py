@@ -152,3 +152,36 @@ def test_read_shape_polygon_and_circle(spark, zpath):
     got = {r["id"] for r in read_shape(spark, zpath, circle,
                                        stored_precision=6).select("id").collect()}
     assert got == want and len(want) > 20
+
+
+def test_no_false_negative_pruning_property():
+    """THE safety invariant of the layout: every point inside the bbox
+    has its stored-level code inside one of the pushed ranges — a
+    violation would silently DROP rows at the scan. Randomized sweep
+    incl. dateline-crossing query boxes."""
+    import numpy as np
+    from spatial4n_spark.kernels.geohash import cell_code
+    from spatial4n_spark.sources.zorder import bbox_code_ranges
+
+    rng = np.random.RandomState(23)
+    for trial in range(200):
+        if trial % 5 == 0:  # dateline-crossing box
+            minx = rng.uniform(150, 179)
+            maxx = rng.uniform(-179, -150)
+        else:
+            minx, maxx = sorted(rng.uniform(-180, 180, 2))
+        miny, maxy = sorted(rng.uniform(-90, 90, 2))
+        ranges = bbox_code_ranges(minx, maxx, miny, maxy,
+                                  stored_precision=6, max_ranges=32)
+        assert ranges
+        # sample interior points (wrap-aware for crossing boxes)
+        if minx <= maxx:
+            lons = rng.uniform(minx, maxx, 50)
+        else:
+            raw = rng.uniform(minx, maxx + 360.0, 50)
+            lons = np.where(raw > 180.0, raw - 360.0, raw)
+        lats = rng.uniform(miny, maxy, 50)
+        codes = cell_code(lats, lons, 6)
+        for c in codes:
+            assert any(lo <= c <= hi for lo, hi in ranges), \
+                (minx, maxx, miny, maxy, int(c))
