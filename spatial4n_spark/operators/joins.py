@@ -635,7 +635,8 @@ def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
                               right_shape: str = "rshape",
                               broadcast_right: bool = True,
                               predicate: str = "intersects",
-                              salt: int | None = None) -> DataFrame:
+                              salt: int | None = None,
+                              right_id: str | None = None) -> DataFrame:
     """Two-sided adaptive (multi-level) shape x shape join.
 
     Both layers can mix Monaco-size and Russia-size shapes: each shape
@@ -670,17 +671,34 @@ def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
     """
     from ..kernels.geohash import LEVEL_TAG_BITS
 
+    closure_relate = None
+    if right_id is not None and broadcast_right:
+        # same contract as shape_shape_join(right_id=): right layer's
+        # vertices ride the relate UDF's closure; the broadcast carries
+        # only (id, bbox, tagged cover) and the output has no right
+        # struct. Falls back to the struct path above the vertex cap
+        # or on duplicate/null ids.
+        from .refine import collect_shape_table, make_closure_shape_relate
+        table = collect_shape_table(right, right_id, right_shape)
+        if table is not None:
+            closure_relate = make_closure_shape_relate(table)
+            rs_src = F.col(right_shape)
+            right = right.select(
+                right_id,
+                rs_src["minx"].alias("__rminx"), rs_src["maxx"].alias("__rmaxx"),
+                rs_src["miny"].alias("__rminy"), rs_src["maxy"].alias("__rmaxy"))
+
     ls, rs = F.col(left_shape), F.col(right_shape)
     mask = (1 << LEVEL_TAG_BITS) - 1
     max_lon_bits = (max_level * 5 + 1) // 2
     max_lat_bits = (max_level * 5) // 2
 
-    def side(df, shape, li, ti, lvl):
-        s = F.col(shape)
-        return (df.withColumn(li, SF.st_axis_idx_col(s["minx"], "lon", max_level))
-                  .withColumn(ti, SF.st_axis_idx_col(s["miny"], "lat", max_level))
+    def side(df, bbox, li, ti, lvl):
+        mnx, mxx, mny, mxy = bbox
+        return (df.withColumn(li, SF.st_axis_idx_col(mnx, "lon", max_level))
+                  .withColumn(ti, SF.st_axis_idx_col(mny, "lat", max_level))
                   .withColumn("__cells", SF.st_cover_pyramid(
-                      s["minx"], s["maxx"], s["miny"], s["maxy"],
+                      mnx, mxx, mny, mxy,
                       min_level, max_level, cells_budget))
                   .withColumn(lvl, F.element_at("__cells", 1)
                               .bitwiseAND(F.lit(mask)))
@@ -688,8 +706,14 @@ def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
                   .drop("__cells")
                   .where(F.col("__cell").isNotNull()))
 
-    lc = side(left, left_shape, "__lli0", "__lti0", "__llvl")
-    rc = side(right, right_shape, "__rli0", "__rti0", "__rlvl")
+    lc = side(left, (ls["minx"], ls["maxx"], ls["miny"], ls["maxy"]),
+              "__lli0", "__lti0", "__llvl")
+    if closure_relate is not None:
+        r_bbox = (F.col("__rminx"), F.col("__rmaxx"),
+                  F.col("__rminy"), F.col("__rmaxy"))
+    else:
+        r_bbox = (rs["minx"], rs["maxx"], rs["miny"], rs["maxy"])
+    rc = side(right, r_bbox, "__rli0", "__rti0", "__rlvl")
     if broadcast_right:
         rc = F.broadcast(rc)
         j = lc.join(rc, "__cell", "inner")
@@ -703,8 +727,12 @@ def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
     else:
         j = lc.join(rc, "__cell", "inner")
 
-    bbox_ok = ((ls["minx"] <= rs["maxx"]) & (ls["maxx"] >= rs["minx"])
-               & (ls["miny"] <= rs["maxy"]) & (ls["maxy"] >= rs["miny"]))
+    if closure_relate is not None:
+        bbox_ok = ((ls["minx"] <= F.col("__rmaxx")) & (ls["maxx"] >= F.col("__rminx"))
+                   & (ls["miny"] <= F.col("__rmaxy")) & (ls["maxy"] >= F.col("__rminy")))
+    else:
+        bbox_ok = ((ls["minx"] <= rs["maxx"]) & (ls["maxx"] >= rs["minx"])
+                   & (ls["miny"] <= rs["maxy"]) & (ls["maxy"] >= rs["miny"]))
     m = F.least(F.col("__llvl"), F.col("__rlvl"))
     g_lon = F.greatest(F.col("__lli0"), F.col("__rli0"))
     g_lat = F.greatest(F.col("__lti0"), F.col("__rti0"))
@@ -721,4 +749,17 @@ def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
     gated = (j.where(bbox_ok & (F.col("__cell") == ref))
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0",
                     "__llvl", "__rlvl"))
+    if closure_relate is not None:
+        from ..kernels import relation as REL
+        gated = gated.drop("__rminx", "__rmaxx", "__rminy", "__rmaxy")
+        rel = closure_relate(ls["xs"], ls["ys"], ls["ring_offsets"],
+                             F.col(right_id))
+        if predicate == "all":
+            return gated.withColumn("relation", rel.cast("int"))
+        keep = {"intersects": rel != REL.DISJOINT,
+                "contains": rel == REL.CONTAINS,
+                "within": rel == REL.WITHIN}.get(predicate)
+        if keep is None:
+            raise ValueError(predicate)
+        return gated.where(keep)
     return _apply_shape_predicate(gated, ls, rs, predicate)

@@ -157,3 +157,18 @@ def test_adaptive_no_codegen_compile_fallback(spark, layers):
     os.unlink(path)
     assert "Failed to compile the generated Java code" not in log, log[:4000]
     assert "grows beyond 64 KB" not in log, log[:4000]
+
+
+def test_adaptive_two_layer_closure_right_set_equal(spark, layers):
+    """right_id closure path == struct path on the adaptive two-layer
+    join for every predicate."""
+    from spatial4n_spark.operators.joins import shape_shape_join_adaptive
+    left, right = layers[0], layers[1]
+    for predicate in ("intersects", "contains", "within", "all"):
+        a = shape_shape_join_adaptive(left, right, predicate=predicate)
+        b = shape_shape_join_adaptive(left, right, predicate=predicate,
+                                      right_id="rid")
+        cols = ["lid", "rid"] + (["relation"] if predicate == "all" else [])
+        sa = {tuple(r) for r in a.select(*cols).collect()}
+        sb = {tuple(r) for r in b.select(*cols).collect()}
+        assert sa == sb, predicate

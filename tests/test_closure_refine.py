@@ -96,3 +96,31 @@ def test_closure_falls_back_on_duplicate_or_null_ids(spark):
     out = point_in_shape_join(pts, shapes, plan, shape_id="sid")
     assert sorted((r["pid"], r["sid"]) for r in
                   out.select("pid", "sid").collect()) == [(0, 7), (1, 7)]
+
+
+def test_closure_semi_anti_match_struct(spark):
+    """how=leftsemi/leftanti flow through the closure path unchanged."""
+    import numpy as np
+    from spatial4n_spark import functions as SF
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+
+    rng = np.random.RandomState(5)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(
+            zip(rng.uniform(-60, 60, 800), rng.uniform(-50, 50, 800)))],
+        "pid int, x double, y double")
+    shapes = (spark.createDataFrame(
+        [(1, "POLYGON((-10 -10, 30 -10, 10 25, -10 -10))"),
+         (2, "BUFFER(POINT(40 10), 9)")], "sid int, wkt string")
+        .withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+        .select("sid", "shape"))
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    for how in ("leftsemi", "leftanti"):
+        a = {r["pid"] for r in point_in_shape_join(
+            pts, shapes, plan, how=how).select("pid").collect()}
+        b = {r["pid"] for r in point_in_shape_join(
+            pts, shapes, plan, how=how, shape_id="sid").select("pid").collect()}
+        assert a == b, how
+    assert len(a) > 0
