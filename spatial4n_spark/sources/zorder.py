@@ -118,8 +118,11 @@ def read_bbox(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     coarse = bbox_code_predicate(minx, maxx, miny, maxy,
                                  stored_precision, max_ranges)
-    exact = ((F.col(x) >= minx) & (F.col(x) <= maxx)
-             & (F.col(y) >= miny) & (F.col(y) <= maxy))
+    if minx <= maxx:
+        lon_ok = (F.col(x) >= minx) & (F.col(x) <= maxx)
+    else:  # dateline-crossing box: the lon interval wraps at +-180
+        lon_ok = (F.col(x) >= minx) | (F.col(x) <= maxx)
+    exact = lon_ok & (F.col(y) >= miny) & (F.col(y) <= maxy)
     return df.where(coarse & exact)
 
 

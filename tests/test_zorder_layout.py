@@ -185,3 +185,18 @@ def test_no_false_negative_pruning_property():
         for c in codes:
             assert any(lo <= c <= hi for lo, hi in ranges), \
                 (minx, maxx, miny, maxy, int(c))
+
+
+def test_read_bbox_dateline_crossing(spark, zpath):
+    """A query box wrapping +-180 (minx > maxx) returns exactly the
+    wrap-aware brute-force rows."""
+    from spatial4n_spark.sources.zorder import read_bbox
+    minx, maxx, miny, maxy = 170.0, -165.0, -20.0, 20.0
+    got = {r["id"] for r in
+           read_bbox(spark, zpath, minx, maxx, miny, maxy,
+                     stored_precision=6).select("id").collect()}
+    raw = spark.read.parquet(zpath)
+    want = {r["id"] for r in raw.where(
+        ((F.col("x") >= minx) | (F.col("x") <= maxx))
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)).select("id").collect()}
+    assert got == want and len(want) > 50
