@@ -200,3 +200,27 @@ def test_read_bbox_dateline_crossing(spark, zpath):
         ((F.col("x") >= minx) | (F.col("x") <= maxx))
         & (F.col("y") >= miny) & (F.col("y") <= maxy)).select("id").collect()}
     assert got == want and len(want) > 50
+
+
+def test_read_shape_dateline_polygon(spark, zpath):
+    """A dateline-crossing polygon (parser page-splits it; bbox wraps)
+    scans both sides of +-180 and refines exactly."""
+    import numpy as np
+    from spatial4n_spark.kernels.pip import points_in_polygon
+    from spatial4n_spark.kernels.wkt import parse_shape
+    from spatial4n_spark.sources.zorder import read_shape
+
+    wkt = "POLYGON((170 -15, -168 -15, -172 18, 170 -15))"
+    rec = parse_shape(wkt)
+    assert rec["minx"] > rec["maxx"]  # crossing bbox
+
+    raw = spark.read.parquet(zpath).select("id", "x", "y").collect()
+    ids = np.array([r["id"] for r in raw])
+    xs = np.array([r["x"] for r in raw])
+    ys = np.array([r["y"] for r in raw])
+    inside = points_in_polygon(xs, ys, np.asarray(rec["xs"]),
+                               np.asarray(rec["ys"]), rec["ring_offsets"])
+    want = set(ids[inside].tolist())
+    got = {r["id"] for r in read_shape(spark, zpath, wkt,
+                                       stored_precision=6).select("id").collect()}
+    assert got == want and len(want) > 10
