@@ -156,12 +156,53 @@ def _point_in_shape_join_closure(points: DataFrame, shapes: DataFrame,
     """Closure-refine variant (see point_in_shape_join's shape_id doc).
     Returns None when the layer is too big for a task closure — the
     caller then runs the struct path."""
-    from .refine import collect_shape_table, make_closure_refine
+    from .refine import (collect_shape_table, convex_halfplanes,
+                         make_closure_refine)
     table = collect_shape_table(shapes, shape_id, shape_col)
     if table is None:
         return None
-    refine_udf = make_closure_refine(table)
 
+    hp = convex_halfplanes(table)
+    if hp is not None:
+        # CONVEX FAST PATH: containment is AND_k(a_k*x + b_k*y + c_k
+        # >= 0) over <=8 unrolled half-planes — a pure Column predicate
+        # like the rect gate, so the whole join is whole-stage codegen
+        # with ZERO Python stages. The broadcast side is rebuilt from
+        # the driver-side table: (id, bbox, edge coefficients), padded
+        # with the always-true plane (0, 0, 1).
+        spark = points.sparkSession
+        k_max = max(len(v) for v in hp.values())
+        rows = []
+        for sid, rec in table.items():
+            coeffs = hp[sid] + [(0.0, 0.0, 1.0)] * (k_max - len(hp[sid]))
+            rows.append((sid, float(rec[4]), float(rec[5]),
+                         float(rec[6]), float(rec[7]),
+                         *[v for abc in coeffs for v in abc]))
+        cnames = [shape_id, "__minx", "__maxx", "__miny", "__maxy"] + \
+                 [f"__{t}{k}" for k in range(k_max) for t in ("a", "b", "c")]
+        slim = spark.createDataFrame(rows, cnames)
+        cover = (slim.withColumn("cover_cell", F.explode_outer(
+                     SF.st_cover_codes_col(F.col("__minx"), F.col("__maxx"),
+                                           F.col("__miny"), F.col("__maxy"),
+                                           plan.precision)))
+                     .where(F.col("cover_cell").isNotNull()))
+        pts = with_point_cell(points, point_x, point_y, plan.precision,
+                              codes=True)
+        joined = pts.join(F.broadcast(cover),
+                          pts["cell_id"] == cover["cover_cell"], "inner")
+        px, py = F.col(point_x), F.col(point_y)
+        cond = ((py >= F.col("__miny")) & (py <= F.col("__maxy"))
+                & (px >= F.col("__minx")) & (px <= F.col("__maxx")))
+        for k in range(k_max):
+            cond = cond & (F.col(f"__a{k}") * px + F.col(f"__b{k}") * py
+                           + F.col(f"__c{k}") >= 0.0)
+        out = (joined.where(cond)
+                     .withColumn("relation", F.lit(REL.CONTAINS).cast("tinyint")))
+        return out.drop("cover_cell", "__minx", "__maxx", "__miny", "__maxy",
+                        *[f"__{t}{k}" for k in range(k_max)
+                          for t in ("a", "b", "c")])
+
+    refine_udf = make_closure_refine(table)
     slim = _slim_bbox(shapes, shape_col, shape_id)
     cover = (slim.withColumn("cover_cell", F.explode_outer(
                  SF.st_cover_codes_col(F.col("__minx"), F.col("__maxx"),

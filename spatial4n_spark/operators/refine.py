@@ -143,3 +143,62 @@ def make_closure_shape_relate(table: dict):
         return pd.Series(out)
 
     return pandas_udf(relate, ByteType())
+
+
+# convex fast path: above this edge count the unrolled JVM predicate
+# stops being worth the broadcast width (3 doubles per edge per shape)
+MAX_CONVEX_EDGES = 8
+
+
+def convex_halfplanes(table: dict, max_edges: int = MAX_CONVEX_EDGES):
+    """{id: [(a, b, c), ...]} half-plane coefficients when EVERY shape
+    in the table is a convex single-ring polygon with <= max_edges
+    edges — else None (caller uses the refine UDF).
+
+    Containment then is AND_k(a_k*x + b_k*y + c_k >= 0), expressible as
+    unrolled scalar Column conjuncts (whole-stage codegen, no Python),
+    with boundary-in matching the even-odd kernel's COVERS semantics.
+    Coefficients are oriented for either ring winding (CW rings flip
+    sign). Page-split (dateline) polygons have multiple rings and fall
+    back — their x-shift semantics need the kernel.
+    """
+    out = {}
+    for sid, rec in table.items():
+        kind, xs, ys, ro = rec[0], rec[8], rec[9], rec[10]
+        if kind == _wkt.KIND_RECT:
+            # a non-crossing rect is 4 axis-aligned half-planes (the
+            # closed plain-rect branch of RectangleImpl); a dateline
+            # rect needs the x-shift and falls back
+            minx, maxx, miny, maxy = rec[4], rec[5], rec[6], rec[7]
+            if minx > maxx:
+                return None
+            out[sid] = [(1.0, 0.0, -minx), (-1.0, 0.0, maxx),
+                        (0.0, 1.0, -miny), (0.0, -1.0, maxy)]
+            continue
+        if kind != _wkt.KIND_POLYGON or xs is None:
+            return None
+        if ro is not None and len(ro) > 2:
+            return None
+        n = len(xs)
+        if n >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            n -= 1
+        if n < 3 or n > max_edges:
+            return None
+        x2 = np.r_[xs[1:n], xs[0]]
+        y2 = np.r_[ys[1:n], ys[0]]
+        x1, y1 = xs[:n], ys[:n]
+        # consecutive-edge cross products decide convexity + winding
+        x3 = np.r_[x2[1:], x2[0]]
+        y3 = np.r_[y2[1:], y2[0]]
+        cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+        if np.all(cross >= 0):
+            sign = 1.0      # CCW
+        elif np.all(cross <= 0):
+            sign = -1.0     # CW
+        else:
+            return None     # non-convex
+        a = -(y2 - y1) * sign
+        b = (x2 - x1) * sign
+        c = ((y2 - y1) * x1 - (x2 - x1) * y1) * sign
+        out[sid] = list(zip(a.tolist(), b.tolist(), c.tolist()))
+    return out

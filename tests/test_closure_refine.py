@@ -124,3 +124,75 @@ def test_closure_semi_anti_match_struct(spark):
             pts, shapes, plan, how=how, shape_id="sid").select("pid").collect()}
         assert a == b, how
     assert len(a) > 0
+
+
+def test_convex_fast_path_no_python_and_correct(spark):
+    """An all-convex polygon layer takes the unrolled half-plane JVM
+    path: ZERO Python stages in the plan, results equal to the even-odd
+    kernel struct path."""
+    import numpy as np
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+
+    rng = np.random.RandomState(13)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(
+            zip(rng.uniform(-80, 80, 4000), rng.uniform(-60, 60, 4000)))],
+        "pid int, x double, y double")
+    # convex shapes: triangles, a quad, a CW pentagon
+    wkts = [
+        (1, "POLYGON((-10 -10, 30 -10, 10 25, -10 -10))"),
+        (2, "POLYGON((40 0, 60 0, 60 20, 40 20, 40 0))"),
+        (3, "POLYGON((-60 10, -64 24, -74 24, -78 10, -69 0, -60 10))"),  # CW
+    ]
+    from spatial4n_spark import functions as SF
+    shapes = (spark.createDataFrame(wkts, "sid int, wkt string")
+              .withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+              .select("sid", "shape"))
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    struct_pairs = {(r["pid"], r["sid"]) for r in
+                    point_in_shape_join(pts, shapes, plan)
+                    .select("pid", "sid").collect()}
+    fast = point_in_shape_join(pts, shapes, plan, shape_id="sid")
+    fast_pairs = {(r["pid"], r["sid"]) for r in
+                  fast.select("pid", "sid").collect()}
+    assert fast_pairs == struct_pairs and len(struct_pairs) > 50
+
+    p = fast._jdf.queryExecution().executedPlan().toString()
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in p, p[:1500]
+
+
+def test_nonconvex_layer_skips_fast_path(spark):
+    """A layer containing a non-convex polygon must use the kernel
+    refine (the half-plane AND would be wrong for it)."""
+    import numpy as np
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+    from spatial4n_spark import functions as SF
+
+    rng = np.random.RandomState(29)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(
+            zip(rng.uniform(-20, 40, 3000), rng.uniform(-20, 40, 3000)))],
+        "pid int, x double, y double")
+    # L-shaped (non-convex): its convex hull would wrongly contain the
+    # notch — set-equality with the struct path proves the fallback
+    wkts = [(1, "POLYGON((0 0, 30 0, 30 10, 10 10, 10 30, 0 30, 0 0))")]
+    shapes = (spark.createDataFrame(wkts, "sid int, wkt string")
+              .withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+              .select("sid", "shape"))
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    a = {r["pid"] for r in point_in_shape_join(pts, shapes, plan)
+         .select("pid").collect()}
+    b = {r["pid"] for r in point_in_shape_join(pts, shapes, plan,
+                                               shape_id="sid")
+         .select("pid").collect()}
+    assert a == b and len(a) > 50
+    # notch points must be excluded (hull would include them)
+    notch = spark.createDataFrame([(0, 20.0, 20.0)],
+                                  "pid int, x double, y double")
+    assert point_in_shape_join(notch, shapes, plan,
+                               shape_id="sid").count() == 0
