@@ -196,3 +196,33 @@ def test_nonconvex_layer_skips_fast_path(spark):
                                   "pid int, x double, y double")
     assert point_in_shape_join(notch, shapes, plan,
                                shape_id="sid").count() == 0
+
+
+def test_convex_halfplanes_agree_with_evenodd_kernel():
+    """Kernel-level property sweep (no Spark): random convex hulls —
+    the half-plane AND equals the even-odd PIP on random probes."""
+    import numpy as np
+    from spatial4n_spark.kernels.pip import points_in_polygon
+    from spatial4n_spark.kernels.wkt import KIND_POLYGON, _convex_hull_ring
+    from spatial4n_spark.operators.refine import convex_halfplanes
+
+    rng = np.random.RandomState(41)
+    for trial in range(60):
+        pts = rng.uniform(-50, 50, (rng.randint(3, 12), 2))
+        hull = _convex_hull_ring([[tuple(q) for q in pts]])
+        xs = np.asarray(hull[0], dtype=np.float64)
+        ys = np.asarray(hull[1], dtype=np.float64)
+        if len(xs) < 3 or len(xs) > 8:
+            continue
+        ro = np.array([0, len(xs)], dtype=np.int64)
+        table = {1: (KIND_POLYGON, None, None, None,
+                     xs.min(), xs.max(), ys.min(), ys.max(), xs, ys, ro)}
+        hp = convex_halfplanes(table)
+        assert hp is not None, (trial, len(xs))
+        px = rng.uniform(-60, 60, 500)
+        py = rng.uniform(-60, 60, 500)
+        want = points_in_polygon(px, py, xs, ys, ro)
+        got = np.ones(500, dtype=bool)
+        for a, b, c in hp[1]:
+            got &= (a * px + b * py + c) >= 0
+        assert (got == want).all(), trial
