@@ -150,55 +150,74 @@ def make_closure_shape_relate(table: dict):
 MAX_CONVEX_EDGES = 8
 
 
-def convex_halfplanes(table: dict, max_edges: int = MAX_CONVEX_EDGES):
-    """{id: [(a, b, c), ...]} half-plane coefficients when EVERY shape
-    in the table is a convex single-ring polygon with <= max_edges
-    edges — else None (caller uses the refine UDF).
+def _shape_halfplanes(rec, max_edges: int):
+    """[(a, b, c), ...] for ONE convex shape, or None if it has no
+    half-plane form (non-convex, holed, page-split, too many edges,
+    dateline rect, non-areal kind)."""
+    kind, xs, ys, ro = rec[0], rec[8], rec[9], rec[10]
+    if kind == _wkt.KIND_RECT:
+        # a non-crossing rect is 4 axis-aligned half-planes (the closed
+        # plain-rect branch of RectangleImpl); a dateline rect needs
+        # the x-shift and falls back
+        minx, maxx, miny, maxy = rec[4], rec[5], rec[6], rec[7]
+        if minx > maxx:
+            return None
+        return [(1.0, 0.0, -minx), (-1.0, 0.0, maxx),
+                (0.0, 1.0, -miny), (0.0, -1.0, maxy)]
+    if kind != _wkt.KIND_POLYGON or xs is None:
+        return None
+    if ro is not None and len(ro) > 2:
+        return None
+    n = len(xs)
+    if n >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        n -= 1
+    if n < 3 or n > max_edges:
+        return None
+    x2 = np.r_[xs[1:n], xs[0]]
+    y2 = np.r_[ys[1:n], ys[0]]
+    x1, y1 = xs[:n], ys[:n]
+    # consecutive-edge cross products decide convexity + winding
+    x3 = np.r_[x2[1:], x2[0]]
+    y3 = np.r_[y2[1:], y2[0]]
+    cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+    if np.all(cross >= 0):
+        sign = 1.0      # CCW
+    elif np.all(cross <= 0):
+        sign = -1.0     # CW
+    else:
+        return None     # non-convex
+    a = -(y2 - y1) * sign
+    b = (x2 - x1) * sign
+    c = ((y2 - y1) * x1 - (x2 - x1) * y1) * sign
+    return list(zip(a.tolist(), b.tolist(), c.tolist()))
 
-    Containment then is AND_k(a_k*x + b_k*y + c_k >= 0), expressible as
-    unrolled scalar Column conjuncts (whole-stage codegen, no Python),
-    with boundary-in matching the even-odd kernel's COVERS semantics.
-    Coefficients are oriented for either ring winding (CW rings flip
-    sign). Page-split (dateline) polygons have multiple rings and fall
-    back — their x-shift semantics need the kernel.
-    """
-    out = {}
+
+def split_convex(table: dict, max_edges: int = MAX_CONVEX_EDGES):
+    """Partition the closure table by half-plane expressibility:
+    ({convex_id: [(a,b,c),...]}, {other_id: rec}). Containment for the
+    convex part is AND_k(a_k*x + b_k*y + c_k >= 0) — unrolled scalar
+    Column conjuncts (whole-stage codegen, no Python), boundary-in
+    matching the even-odd kernel's COVERS semantics; the rest runs the
+    closure kernel refine."""
+    hp, rest = {}, {}
     for sid, rec in table.items():
-        kind, xs, ys, ro = rec[0], rec[8], rec[9], rec[10]
-        if kind == _wkt.KIND_RECT:
-            # a non-crossing rect is 4 axis-aligned half-planes (the
-            # closed plain-rect branch of RectangleImpl); a dateline
-            # rect needs the x-shift and falls back
-            minx, maxx, miny, maxy = rec[4], rec[5], rec[6], rec[7]
-            if minx > maxx:
-                return None
-            out[sid] = [(1.0, 0.0, -minx), (-1.0, 0.0, maxx),
-                        (0.0, 1.0, -miny), (0.0, -1.0, maxy)]
-            continue
-        if kind != _wkt.KIND_POLYGON or xs is None:
-            return None
-        if ro is not None and len(ro) > 2:
-            return None
-        n = len(xs)
-        if n >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
-            n -= 1
-        if n < 3 or n > max_edges:
-            return None
-        x2 = np.r_[xs[1:n], xs[0]]
-        y2 = np.r_[ys[1:n], ys[0]]
-        x1, y1 = xs[:n], ys[:n]
-        # consecutive-edge cross products decide convexity + winding
-        x3 = np.r_[x2[1:], x2[0]]
-        y3 = np.r_[y2[1:], y2[0]]
-        cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
-        if np.all(cross >= 0):
-            sign = 1.0      # CCW
-        elif np.all(cross <= 0):
-            sign = -1.0     # CW
+        planes = _shape_halfplanes(rec, max_edges)
+        if planes is None:
+            rest[sid] = rec
         else:
-            return None     # non-convex
-        a = -(y2 - y1) * sign
-        b = (x2 - x1) * sign
-        c = ((y2 - y1) * x1 - (x2 - x1) * y1) * sign
-        out[sid] = list(zip(a.tolist(), b.tolist(), c.tolist()))
-    return out
+            hp[sid] = planes
+    return hp, rest
+
+
+def convex_halfplanes(table: dict, max_edges: int = MAX_CONVEX_EDGES):
+    """All-or-nothing view of split_convex: None unless EVERY shape is
+    half-plane-expressible.
+
+    Deliberately all-or-nothing inside ONE join: auto-splitting a mixed
+    layer into a JVM branch + a UDF branch would scan the (10^12-row)
+    point side twice — worse than one pass with the kernel refine. A
+    caller who KNOWS the mix is lopsided can pre-split the small shape
+    layer with split_convex and run two joins against a cached/
+    checkpointed point projection, paying the second scan knowingly."""
+    hp, rest = split_convex(table, max_edges)
+    return hp if not rest else None
