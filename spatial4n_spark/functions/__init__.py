@@ -1185,3 +1185,28 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         spark.udf.register(full, fn)
         names.append(full)
     return names
+
+
+def haversine_deg_jvm(x1, y1, x2, y2):
+    """Haversine distance in degrees as a PURE Column expression
+    (DistHaversineRAD, DistanceUtils.cs:502-514, in Spark SQL math).
+
+    Java and NumPy libm may differ by ulps on the transcendentals, so
+    this is NOT the exactness surface — it exists as a codegen
+    PRE-filter: `haversine_deg_jvm(..) <= r + slack` keeps every true
+    candidate (slack covers the drift) while the exact kernel filter
+    runs only on the survivors. Arrow traffic then scales with the ring
+    population, not the cell-cover candidate count.
+    """
+    lat1, lon1 = F.radians(y1), F.radians(x1)
+    lat2, lon2 = F.radians(y2), F.radians(x2)
+    hx = F.sin((lon1 - lon2) * 0.5)
+    hy = F.sin((lat1 - lat2) * 0.5)
+    h = hy * hy + F.cos(lat1) * F.cos(lat2) * hx * hx
+    d = F.atan2(F.sqrt(h), F.sqrt(F.lit(1.0) - h)) * 2.0
+    return F.degrees(d)
+
+
+# absolute+relative slack on the JVM prefilter: libm drift is ~1 ulp,
+# this is ~1e6 ulps of headroom at planetary magnitudes
+JVM_PREFILTER_SLACK = 1e-7

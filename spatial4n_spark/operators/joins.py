@@ -388,9 +388,15 @@ def distance_join(points: DataFrame, queries: DataFrame, radius_deg: float | Col
     if plan.broadcast_shapes:
         q = F.broadcast(q)
     joined = pts.join(q, pts["cell_id"] == q["cover_cell"], "inner").drop("cover_cell")
+    rad = radius_deg if isinstance(radius_deg, Column) else F.lit(float(radius_deg))
+    if calculator == "haversine":
+        # codegen pre-filter with slack: kills far candidates before
+        # the Arrow stage; the exact kernel filter below remains the
+        # correctness surface (see SF.haversine_deg_jvm)
+        pre = SF.haversine_deg_jvm(F.col(point_x), F.col(point_y), qx, qy)
+        joined = joined.where(pre <= rad + F.lit(SF.JVM_PREFILTER_SLACK))
     dist = SF.st_distance_deg(F.col(point_x), F.col(point_y), qx, qy, calculator)
     out = joined.withColumn("dist_deg", dist)
-    rad = radius_deg if isinstance(radius_deg, Column) else F.lit(float(radius_deg))
     return out.where(F.col("dist_deg") <= rad)
 
 
@@ -414,6 +420,11 @@ def _knn_core(points: DataFrame, queries: DataFrame, k: int,
     if plan.broadcast_shapes:
         q = F.broadcast(q)
     joined = pts.join(q, pts["cell_id"] == q["cover_cell"], "inner").drop("cover_cell")
+    # codegen haversine pre-filter (slack covers libm drift): the Arrow
+    # stage below then sees only near-ring candidates; the kernel
+    # haversine <= r remains the exact ring test
+    pre = SF.haversine_deg_jvm(F.col(point_x), F.col(point_y), qx, qy)
+    joined = joined.where(pre <= float(radius_deg) + SF.JVM_PREFILTER_SLACK)
     d = SF.st_hav_vin(F.col(point_x), F.col(point_y), qx, qy)
     cand = (joined.withColumn("__d", d)
                   .where(F.col("__d.hav") <= float(radius_deg))
