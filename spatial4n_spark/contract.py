@@ -908,13 +908,13 @@ px AS (
        unnest(range(0, 16)) AS jj(j)
 )
 SELECT 'rect' AS zone_kind, CAST(rect_id AS BIGINT) AS zone_id,
-       count(*) AS px_count, sum(value) AS px_sum
+       count(*) AS px_count, CAST(sum(value) AS BIGINT) AS px_sum
 FROM px JOIN n2rects
   ON px_lon >= minx AND px_lon <= maxx AND px_lat >= miny AND px_lat <= maxy
 GROUP BY 1, 2
 UNION ALL
 SELECT 'poly' AS zone_kind, CAST(poly_id AS BIGINT) AS zone_id,
-       count(*) AS px_count, sum(value) AS px_sum
+       count(*) AS px_count, CAST(sum(value) AS BIGINT) AS px_sum
 FROM px JOIN tri
   ON ((x2t - x1t) * (px_lat - y1t) - (y2t - y1t) * (px_lon - x1t)) >= 0
  AND ((x3t - x2t) * (px_lat - y2t) - (y3t - y2t) * (px_lon - x2t)) >= 0
@@ -1899,9 +1899,9 @@ SELECT o_orderkey,
        round(((d_km / 6371.0087714) * {_RDEG}) * {_D2R}, 9) AS rad,
        round(d_km * 0.621371192, 9) AS mi,
        round((d_km * 0.621371192) * (1.0 / 0.621371192), 9) AS km_from_mi,
-       ((CASE WHEN d_km = 1.0 THEN 0.0 ELSE 1.0 END)
+       CAST((CASE WHEN d_km = 1.0 THEN 0.0 ELSE 1.0 END)
         + (CASE WHEN d_km / 2.0 = d_km / 4.0 THEN 0.0 ELSE 1.0 END)
-        + 1.0) AS vd0,
+        + 1.0 AS DOUBLE) AS vd0,
        round(abs(d_km - 1.0) + abs(d_km / 2.0 - d_km / 4.0) + abs(3.0 - 5.0), 9) AS vd1,
        round(sqrt((d_km - 1.0) * (d_km - 1.0)
                   + (d_km / 2.0 - d_km / 4.0) * (d_km / 2.0 - d_km / 4.0)

@@ -284,16 +284,23 @@ def _st_relate_shape_point_udf(kind: pd.Series, x: pd.Series, y: pd.Series,
         idxs = np.nonzero(m)[0]
         xs_np = xs.to_numpy()
         ys_np = ys.to_numpy()
+        ro_np = ring_offsets.to_numpy()
         groups: dict = {}
         setd = groups.setdefault
         for i in idxs:
-            vx = xs_np[i]
-            setd((len(vx), vx[0], vx[-1], ys_np[i][0]), []).append(i)
+            # key on the FULL geometry bytes — a heuristic key like
+            # (len, x0, x-1, y0) collides for distinct rings sharing
+            # endpoints (closed rings always have x0 == x-1) and would
+            # silently relate a row against the wrong polygon. tobytes()
+            # is ~ns per vertex, negligible next to the PIP kernel.
+            setd((np.asarray(xs_np[i]).tobytes(),
+                  np.asarray(ys_np[i]).tobytes(),
+                  np.asarray(ro_np[i]).tobytes()), []).append(i)
         for rows in groups.values():
             i0 = rows[0]
             vx = np.asarray(xs_np[i0], dtype=np.float64)
             vy = np.asarray(ys_np[i0], dtype=np.float64)
-            ro = np.asarray(ring_offsets.iloc[i0], dtype=np.int64)
+            ro = np.asarray(ro_np[i0], dtype=np.int64)
             rows = np.asarray(rows)
             hit = points_in_polygon(pxv[rows], pyv[rows], vx, vy, ro)
             out[rows] = np.where(hit, _rel.CONTAINS, _rel.DISJOINT)
@@ -309,9 +316,11 @@ def _st_relate_shape_point_udf(kind: pd.Series, x: pd.Series, y: pd.Series,
         groups: dict = {}
         setd = groups.setdefault
         for i in idxs:
-            vx = xs_np[i]
-            setd((len(vx), vx[0], vx[-1], ys_np[i][0], rad_np[i]),
-                 []).append(i)
+            # full-geometry key (see polygon branch above): two distinct
+            # 2-vertex segments from one hub share (len, x0, x-1, y0) and
+            # a heuristic key would batch them under the first row's line.
+            setd((np.asarray(xs_np[i]).tobytes(),
+                  np.asarray(ys_np[i]).tobytes(), rad_np[i]), []).append(i)
         for rows in groups.values():
             i0 = rows[0]
             vx = np.asarray(xs_np[i0], dtype=np.float64)
@@ -1203,6 +1212,10 @@ def haversine_deg_jvm(x1, y1, x2, y2):
     hx = F.sin((lon1 - lon2) * 0.5)
     hy = F.sin((lat1 - lat2) * 0.5)
     h = hy * hy + F.cos(lat1) * F.cos(lat2) * hx * hx
+    # clamp: rounding can push h a hair past 1 for near-antipodal pairs;
+    # sqrt(1-h) would be NaN, the prefilter comparison false, and a true
+    # candidate silently dropped (ADVICE r03).
+    h = F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0))
     d = F.atan2(F.sqrt(h), F.sqrt(F.lit(1.0) - h)) * 2.0
     return F.degrees(d)
 

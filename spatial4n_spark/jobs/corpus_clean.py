@@ -24,11 +24,23 @@ is one bounded job over the (already much smaller) survivor set.
 """
 from __future__ import annotations
 
+import hashlib
+import json
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..checkpoint import BUCKET_COL, read_output, run_checkpointed
 from ..jobs.dedup_index import write_docs_by_content_hash
+
+
+def _params_digest(*params) -> str:
+    """Short stable digest of a transform's parameters, folded into the
+    transform __name__ so the checkpoint manifest identity includes
+    them: re-running the same workdir with different rules must NOT
+    skip buckets completed under the OLD rules (they would be wrong)."""
+    blob = json.dumps(params, sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()[:8]
 
 
 DEFAULT_RULES = {
@@ -60,14 +72,28 @@ def make_filter_transform(rules: dict | None = None,
         return (d.withColumn("__rn", w).where(F.col("__rn") == 1)
                  .drop("__rn", "q_len", "q_mean_word_len",
                        "q_stopword_ratio", "en_score"))
+    corpus_filter.__name__ = f"corpus_filter:{_params_digest(rules, text_expr)}"
     return corpus_filter
 
 
-def make_emit_transform(removal: DataFrame):
+def make_emit_transform(removal: DataFrame, upstream_digest: str = ""):
     """Stage-3 transform: drop near-dup non-canonical docs. `removal`
-    is the narrow (doc_id) list from stage 2 — broadcast anti-join."""
+    is the narrow (doc_id) list from stage 2 — broadcast anti-join.
+
+    The transform identity folds in (a) an order-independent content
+    checksum of the removal list (one O(1)-driver aggregate: bit_xor of
+    xxhash64(doc_id)) and (b) the stage-1 parameter digest: the
+    survivors parquet PATH is the same across runs even when the rules
+    changed its content, so path-lineage alone would let a re-run with
+    new rules skip stale emit buckets."""
+    chk = removal.agg(
+        F.coalesce(F.bit_xor(F.xxhash64("doc_id")), F.lit(0)).alias("c"),
+        F.count("*").alias("n")).first()
+    digest = _params_digest(upstream_digest, int(chk["c"]), int(chk["n"]))
+
     def corpus_emit(survivors: DataFrame) -> DataFrame:
         return survivors.join(F.broadcast(removal), "doc_id", "leftanti")
+    corpus_emit.__name__ = f"corpus_emit:{digest}"
     return corpus_emit
 
 
@@ -84,8 +110,8 @@ def run_corpus_clean(spark: SparkSession, docs: DataFrame, workdir: str,
     clean = f"{workdir}/clean"
 
     write_docs_by_content_hash(docs, raw, n_buckets, text_expr)
-    s1 = run_checkpointed(spark, raw, survivors_path,
-                          make_filter_transform(rules, text_expr), n_buckets)
+    filter_tf = make_filter_transform(rules, text_expr)
+    s1 = run_checkpointed(spark, raw, survivors_path, filter_tf, n_buckets)
 
     survivors = read_output(spark, survivors_path)
     clusters = dedup_clusters(survivors.select("doc_id", "text"))
@@ -98,7 +124,10 @@ def run_corpus_clean(spark: SparkSession, docs: DataFrame, workdir: str,
 
     # the survivors table was itself written by run_checkpointed, so
     # its parquet root is <survivors_path>/data (bucket-partitioned)
-    s3 = run_checkpointed(spark, f"{survivors_path}/data", clean,
-                          make_emit_transform(removal), n_buckets)
+    s3 = run_checkpointed(
+        spark, f"{survivors_path}/data", clean,
+        make_emit_transform(removal,
+                            upstream_digest=filter_tf.__name__),
+        n_buckets)
     return {"filter": s1, "near_dup_removed": n_removed, "emit": s3,
             "clean_path": clean}

@@ -65,7 +65,10 @@ def bbox_code_ranges(minx: float, maxx: float, miny: float, maxy: float,
     """
     from ..kernels.geohash import cover_counts_bbox
 
-    for cover_precision in range(stored_precision - 1, 0, -1):
+    # start at stored_precision itself (shift=0 is a valid cover level):
+    # with stored_precision=1 a (stored_precision-1)-start made the range
+    # EMPTY, returned [], and read_bbox silently matched zero rows.
+    for cover_precision in range(stored_precision, 0, -1):
         n_raw = int(cover_counts_bbox([minx], [maxx], [miny], [maxy],
                                       cover_precision)[0])
         if n_raw > 8 * max_ranges and cover_precision > 1:

@@ -52,3 +52,26 @@ def test_corpus_clean_resume_skips_buckets(spark, docs, tmp_path_factory):
     assert s2["filter"]["buckets_skipped"] == 4
     assert s2["emit"]["buckets_run"] == 0
     assert spark.read.parquet(s2["clean_path"] + "/data").count() == rows1
+
+
+def test_corpus_clean_rules_change_invalidates_manifests(
+        spark, docs, tmp_path_factory):
+    """Regression (ADVICE r03): manifest identity must include the
+    transform PARAMETERS — re-running the same workdir with different
+    rules must re-run every bucket, not skip them under the old rules."""
+    from spatial4n_spark.jobs.corpus_clean import run_corpus_clean
+
+    wd = str(tmp_path_factory.mktemp("cc3") / "run")
+    run_corpus_clean(spark, docs, wd, n_buckets=4,
+                     rules={"min_words": 3}, text_expr="text")
+    s2 = run_corpus_clean(spark, docs, wd, n_buckets=4,
+                          rules={"min_words": 6}, text_expr="text")
+    assert s2["filter"]["buckets_run"] == 4, s2["filter"]
+    assert s2["filter"]["buckets_skipped"] == 0
+    # the stricter rules really took effect in the final output
+    clean = spark.read.parquet(s2["clean_path"] + "/data")
+    assert clean.where(F.col("q_words") < 6).count() == 0
+    # and a same-rules re-run still skips (identity is stable)
+    s3 = run_corpus_clean(spark, docs, wd, n_buckets=4,
+                          rules={"min_words": 6}, text_expr="text")
+    assert s3["filter"]["buckets_run"] == 0

@@ -122,3 +122,23 @@ def test_mile_constants_exact():
     assert N.EARTH_MEAN_RADIUS_MI == N.EARTH_MEAN_RADIUS_KM * N.KM_TO_MILES
     assert (N.EARTH_EQUATORIAL_RADIUS_MI
             == N.EARTH_EQUATORIAL_RADIUS_KM * N.KM_TO_MILES)
+
+
+def test_haversine_jvm_antipodal_no_nan(spark):
+    """Regression (ADVICE r03): near-antipodal pairs must not go NaN in
+    the JVM prefilter (h marginally > 1 -> sqrt(1-h) NaN -> candidate
+    silently dropped)."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.functions import haversine_deg_jvm
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 180.0, 0.0),
+         (10.0, 20.0, -170.0, -20.0),
+         (45.0, 45.0, -135.0, -45.0)],
+        ["x1", "y1", "x2", "y2"])
+    d = df.select(haversine_deg_jvm(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("d"))
+    vals = [r["d"] for r in d.collect()]
+    assert all(v == v for v in vals), vals       # no NaN
+    assert all(179.0 <= v <= 180.0 + 1e-9 for v in vals), vals

@@ -247,3 +247,32 @@ def test_fiji_distributed_path(spark):
                   == CONTAINS).select("pid")
     got = sorted(r[0] for r in hit.collect())
     assert got == [1, 2], got
+
+
+def test_batch_group_key_no_collision(spark):
+    """Regression: the per-shape batching inside st_relate_shape_point
+    must key on the FULL geometry, not a (len, x0, x-1, y0) heuristic.
+    Two 2-vertex segments from one hub — (0,0)->(10,0) and (0,0)->(10,10)
+    — share every heuristic field; so do two closed 5-vertex rings with
+    the same first edge. Under the old key the second shape's points were
+    related against the FIRST shape's geometry."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import functions as SF
+
+    wkts = [
+        (1, "LINESTRING (0 0, 10 0)", 10.0, 10.0),    # off line 1
+        (2, "LINESTRING (0 0, 10 10)", 10.0, 10.0),   # ON line 2
+        (3, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 5.0, 8.0),  # in 3
+        (4, "POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))", 5.0, 8.0),    # out 4
+    ]
+    df = spark.createDataFrame(wkts, ["sid", "wkt", "px", "py"]) \
+        .repartition(1)  # one Arrow batch => all rows share one UDF call
+    rel = SF.st_relate_shape_point(
+        SF.st_from_wkt(F.col("wkt")), F.col("px"), F.col("py"))
+    got = {r["sid"]: r["rel"]
+           for r in df.select("sid", rel.alias("rel")).collect()}
+    assert got[1] == DISJOINT, got
+    assert got[2] == CONTAINS, got
+    assert got[3] == CONTAINS, got
+    assert got[4] == DISJOINT, got

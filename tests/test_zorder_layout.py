@@ -224,3 +224,18 @@ def test_read_shape_dateline_polygon(spark, zpath):
     got = {r["id"] for r in read_shape(spark, zpath, wkt,
                                        stored_precision=6).select("id").collect()}
     assert got == want and len(want) > 10
+
+
+def test_bbox_code_ranges_precision_one():
+    """Regression (ADVICE r03): stored_precision=1 must still produce
+    covering ranges (shift=0 is a valid cover level) — an empty list
+    makes bbox_code_predicate lit(False) and silently drops every row."""
+    from spatial4n_spark.kernels.geohash import cell_code
+    from spatial4n_spark.sources.zorder import bbox_code_ranges
+
+    ranges = bbox_code_ranges(-10.0, 10.0, -10.0, 10.0, stored_precision=1)
+    assert ranges, "precision-1 layout must not return zero ranges"
+    # the bbox's own cells are inside the returned ranges
+    import numpy as np
+    code = int(cell_code(np.array([0.0]), np.array([0.0]), 1)[0])
+    assert any(lo <= code <= hi for lo, hi in ranges)
