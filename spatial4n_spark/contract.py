@@ -2495,11 +2495,19 @@ _BUFD = "(cast(0.37 as double) + (s_suppkey % 89) * cast(0.53 as double))"
 
 
 def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GetBuffered over the four bufferable kinds: rect (pole-touch
+    """GetBuffered over the five bufferable kinds: rect (pole-touch
     world wrap + lon-skew expansion), point (-> circle), circle (radius
     grows), buffered line (buf grows + lon-skew bbox expansion,
-    BufferedLine.cs:160-182). Distances hit the pole-touch and plain
-    branches."""
+    BufferedLine.cs:160-182), and POLYGON (planar Minkowski buffer with
+    round joins, NtsGeometry.cs:175-180 -> NTS Buffer semantics).
+    Distances hit the pole-touch and plain branches.
+
+    The polygon family is verified two ways: the ANALYTIC buffered bbox
+    (vertex bbox +- d, world-clamped) and four PIP probes against the
+    buffered ring — an edge probe at 0.5d/1.5d beyond the bottom edge
+    and a vertex probe at 0.99d/1.01d along a direction inside vertex
+    v2's normal cone (0.99 < cos(ARC_STEP/2) = 0.9952, so the inscribed
+    arc discretization cannot flip the verdicts)."""
     from . import functions as SF
     sup = _load(spark, sf_dir, "supplier").selectExpr(
         "s_suppkey",
@@ -2515,20 +2523,41 @@ def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     lw = F.expr("concat('BUFFER(LINESTRING(', cast(sminx as string), ' ', cast(sminy as string),"
                 " ', ', cast(smaxx as string), ' ', cast(smaxy as string), '), ',"
                 " cast((r / 7.0) as string), ')')")
+    gw = F.expr(
+        "concat('POLYGON((', cast(cx as string), ' ',"
+        " cast((cy - 10.000357) as string), ', ',"
+        " cast((cx + 24.000713) as string), ' ',"
+        " cast((cy - 10.000357) as string), ', ',"
+        " cast((cx + 12.000251) as string), ' ',"
+        " cast((cy + 14.000509) as string), ', ',"
+        " cast(cx as string), ' ', cast((cy - 10.000357) as string), '))')")
     sdf = (sup.withColumn("sr", SF.st_from_wkt(env))
               .withColumn("sp", SF.st_from_wkt(pw))
               .withColumn("sc", SF.st_from_wkt(cw))
-              .withColumn("sl", SF.st_from_wkt(lw)))
+              .withColumn("sl", SF.st_from_wkt(lw))
+              .withColumn("sg", SF.st_from_wkt(gw)))
 
     def buf(col):
         s = F.col(col)
         return SF.st_buffer(s["kind"], s["x"], s["y"], s["radius"],
                             s["minx"], s["maxx"], s["miny"], s["maxy"],
-                            s["xs"], s["ys"], F.col("d"))
+                            s["xs"], s["ys"], s["ring_offsets"], F.col("d"))
     out = (sdf.withColumn("br", buf("sr"))
               .withColumn("bp", buf("sp"))
               .withColumn("bc", buf("sc"))
-              .withColumn("bl", buf("sl")))
+              .withColumn("bl", buf("sl"))
+              .withColumn("bg", buf("sg")))
+    # PIP probes against the buffered triangle (see docstring); the
+    # bottom edge (v1->v2) has outward normal (0,-1) and v2's normal
+    # cone spans angle -90deg..+26.6deg, so (1,-1)/sqrt(2) is inside it
+    # for EVERY row (the triangle shape is fixed, only translated).
+    s2 = 0.7071067811865476
+    em_x, em_y = F.col("cx") + 12.0003565, F.col("cy") - 10.000357
+    v2x, v2y = F.col("cx") + 24.000713, F.col("cy") - 10.000357
+    d_ = F.col("d")
+
+    def probe(px, py):
+        return SF.st_relate_shape_point(F.col("bg"), px, py) == 2
     return out.select(
         "s_suppkey",
         F.round(F.col("br.minx"), 6).alias("rb_minx"),
@@ -2542,7 +2571,15 @@ def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bl.maxx"), 6).alias("lb_maxx"),
         F.col("bl.miny").alias("lb_miny"),
         F.col("bl.maxy").alias("lb_maxy"),
-        F.size(F.col("bl.xs")).cast("int").alias("lb_nv"))
+        F.size(F.col("bl.xs")).cast("int").alias("lb_nv"),
+        F.round(F.col("bg.minx"), 6).alias("gb_minx"),
+        F.round(F.col("bg.maxx"), 6).alias("gb_maxx"),
+        F.round(F.col("bg.miny"), 6).alias("gb_miny"),
+        F.round(F.col("bg.maxy"), 6).alias("gb_maxy"),
+        probe(em_x, em_y - 0.5 * d_).alias("gb_edge_in"),
+        probe(em_x, em_y - 1.5 * d_).alias("gb_edge_out"),
+        probe(v2x + 0.99 * d_ * s2, v2y - 0.99 * d_ * s2).alias("gb_vtx_in"),
+        probe(v2x + 1.01 * d_ * s2, v2y - 1.01 * d_ * s2).alias("gb_vtx_out"))
 
 
 _BUF_DL = ("CASE WHEN d = 0 THEN 0.0 "
@@ -2593,7 +2630,15 @@ SELECT s_suppkey,
              * sin(radians(greatest(abs(sminy), abs(smaxy)))))))), 6) AS lb_maxx,
   greatest(-90.0, least(sminy, smaxy) - (r / 7.0 + d)) AS lb_miny,
   least(90.0, greatest(sminy, smaxy) + (r / 7.0 + d)) AS lb_maxy,
-  2 AS lb_nv
+  2 AS lb_nv,
+  round(greatest(-180.0, cx - d), 6) AS gb_minx,
+  round(least(180.0, cx + 24.000713 + d), 6) AS gb_maxx,
+  round(greatest(-90.0, cy - 10.000357 - d), 6) AS gb_miny,
+  round(least(90.0, cy + 14.000509 + d), 6) AS gb_maxy,
+  true AS gb_edge_in,
+  false AS gb_edge_out,
+  true AS gb_vtx_in,
+  false AS gb_vtx_out
 FROM br
 """
 

@@ -682,9 +682,9 @@ def st_from_latlon(texts: pd.Series) -> pd.DataFrame:
 def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
               radius: pd.Series, minx: pd.Series, maxx: pd.Series,
               miny: pd.Series, maxy: pd.Series,
-              xs: pd.Series, ys: pd.Series,
+              xs: pd.Series, ys: pd.Series, ring_offsets: pd.Series,
               dist: pd.Series) -> pd.DataFrame:
-    """GetBuffered(distance) for point/circle/rect/line shape structs.
+    """GetBuffered(distance) for point/circle/rect/line/polygon structs.
 
     Point -> circle(distance) (PointImpl.cs:67-70); circle -> radius
     grows, clamped to 180 (CircleImpl.cs:78-81 + MakeCircle clamp);
@@ -693,9 +693,14 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
     (BufferedLine.cs:160-163 / BufferedLineString.cs:96-99) with the
     bbox expanded by the longitude-skew rule
     (ExpandBufForLongitudeSkew, BufferedLine.cs:170-182), clamped to
-    world bounds like the BufferedLine ctor's bbox. Other kinds ->
-    error row."""
-    from ..kernels.buffer import buffer_rect
+    world bounds like the BufferedLine ctor's bbox. (Multi)polygon ->
+    planar degree-space Minkowski buffer (NtsGeometry.cs:175-180
+    delegates to NTS Buffer, which is planar): exact with round joins
+    for convex rings, documented hull/erode approximations otherwise —
+    see kernels.buffer.buffer_polygon. The struct bbox is set
+    ANALYTICALLY (vertex bbox +- d, world-clamped), not from the
+    discretized arc vertices. Other kinds -> error row."""
+    from ..kernels.buffer import buffer_polygon, buffer_rect
     from ..kernels.circle_box import geo_circle_bbox, lon_degrees_at_lat
     n = len(kind)
     k = kind.to_numpy(dtype=np.int8, na_value=0)
@@ -760,7 +765,32 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
             oxs[i] = vx.tolist()
             oys[i] = vy.tolist()
             okind[i] = 4
-    bad = ~(pt | ci | rc | ln)
+    oro: list = [None] * n
+    pg = (k == 7) | (k == 8)
+    if pg.any():
+        kk = k  # original kinds, for pass-through of 7 vs 8
+        for i in np.nonzero(pg)[0]:
+            if xs.iloc[i] is None or ys.iloc[i] is None:
+                err[i] = "st_buffer: polygon without vertex arrays"
+                continue
+            vx = np.asarray(xs.iloc[i], dtype=np.float64)
+            vy = np.asarray(ys.iloc[i], dtype=np.float64)
+            ro = (None if ring_offsets.iloc[i] is None
+                  else np.asarray(ring_offsets.iloc[i], dtype=np.int64))
+            try:
+                bx, by, boff, _ = buffer_polygon(vx, vy, ro, d[i])
+            except ValueError as e:
+                err[i] = f"st_buffer: {e}"
+                continue
+            out["minx"][i] = max(-180.0, vx.min() - d[i])
+            out["maxx"][i] = min(180.0, vx.max() + d[i])
+            out["miny"][i] = max(-90.0, vy.min() - d[i])
+            out["maxy"][i] = min(90.0, vy.max() + d[i])
+            oxs[i] = bx.tolist()
+            oys[i] = by.tolist()
+            oro[i] = list(boff)
+            okind[i] = kk[i]
+    bad = ~(pt | ci | rc | ln | pg)
     if bad.any():
         err[bad] = "st_buffer: unsupported shape kind"
     cols = {"kind": okind}
@@ -772,7 +802,7 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
         elif f.name == "ys":
             cols[f.name] = oys
         elif f.name == "ring_offsets":
-            cols[f.name] = [None] * n
+            cols[f.name] = oro
         elif f.name == "error":
             cols[f.name] = err
         else:

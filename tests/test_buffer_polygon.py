@@ -1,0 +1,168 @@
+"""Polygon GetBuffered kernel (NtsGeometry.cs:175-180 NTS-Buffer analog,
+planar degree space): convex exactness within the documented arc
+inscription bound, hole erosion/collapse, hull fallbacks, and the
+st_buffer UDF surface for kinds 7/8."""
+import numpy as np
+import pytest
+
+from spatial4n_spark.kernels.buffer import (ARC_STEP, buffer_polygon)
+from spatial4n_spark.kernels.pip import points_in_polygon
+
+
+def _dist_to_segments(px, py, xs, ys):
+    """Min distance from one point to a closed ring's segments."""
+    best = np.inf
+    n = len(xs)
+    for i in range(n):
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[(i + 1) % n], ys[(i + 1) % n]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+        best = min(best, float(np.hypot(px - (ax + t * dx), py - (ay + t * dy))))
+    return best
+
+
+SQUARE = (np.array([0.0, 10.0, 10.0, 0.0]), np.array([0.0, 0.0, 10.0, 10.0]))
+
+
+def test_convex_buffer_is_inscribed_minkowski():
+    """Randomized: every probe strictly inside by more than the arc
+    sagitta is CONTAINED; every probe outside the true buffer is NOT."""
+    xs, ys = SQUARE
+    d = 3.0
+    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 4], d)
+    assert not approx
+    sagitta = d * (1.0 - np.cos(ARC_STEP / 2.0))
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-6, 16, 400)
+    py = rng.uniform(-6, 16, 400)
+    got = points_in_polygon(px, py, ox, oy, off)
+    for x, y, g in zip(px, py, got):
+        inside_orig = points_in_polygon(
+            np.array([x]), np.array([y]), xs, ys, [0, 4])[0]
+        dist = 0.0 if inside_orig else _dist_to_segments(x, y, xs, ys)
+        if dist < d - sagitta - 1e-9:
+            assert g, (x, y, dist)
+        elif dist > d + 1e-9:
+            assert not g, (x, y, dist)
+
+
+def test_convex_buffer_cw_input_same_result():
+    xs, ys = SQUARE
+    a = buffer_polygon(xs, ys, [0, 4], 2.0)
+    b = buffer_polygon(xs[::-1].copy(), ys[::-1].copy(), [0, 4], 2.0)
+    # same POINT SET (orientation-normalized internally)
+    assert sorted(zip(np.round(a[0], 12), np.round(a[1], 12))) == \
+        sorted(zip(np.round(b[0], 12), np.round(b[1], 12)))
+
+
+def test_concave_ring_hull_superset():
+    """L-shape (concave): documented fallback is hull-then-buffer —
+    flagged approx, and a SUPERSET of the true buffer."""
+    xs = np.array([0.0, 10.0, 10.0, 6.0, 6.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 10.0, 10.0])
+    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 6], 1.0)
+    assert approx
+    # every point of the true buffer (dist<=1 from the L) is covered
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-2, 12, 300)
+    py = rng.uniform(-2, 12, 300)
+    got = points_in_polygon(px, py, ox, oy, off)
+    for x, y, g in zip(px, py, got):
+        inside = points_in_polygon(np.array([x]), np.array([y]),
+                                   xs, ys, [0, 6])[0]
+        if inside or _dist_to_segments(x, y, xs, ys) <= 1.0 - 1e-9:
+            assert g, (x, y)
+
+
+def test_hole_erodes_and_collapses():
+    """Square with a square hole: buffer(d) erodes the hole by d;
+    a hole narrower than 2d vanishes entirely."""
+    xs = np.concatenate([SQUARE[0], np.array([4.0, 6.0, 6.0, 4.0])])
+    ys = np.concatenate([SQUARE[1], np.array([4.0, 4.0, 6.0, 6.0])])
+    offs = [0, 4, 8]
+    ox, oy, off, approx = buffer_polygon(xs, ys, offs, 0.5)
+    assert not approx and len(off) - 1 == 2  # shell + eroded hole
+    # hole center still out; a point 0.6 inside the old hole edge is in
+    assert not points_in_polygon(np.array([5.0]), np.array([5.0]),
+                                 ox, oy, off)[0]
+    assert points_in_polygon(np.array([4.4]), np.array([5.0]),
+                             ox, oy, off)[0]
+    # d >= half the hole width -> hole collapses, single ring remains
+    ox2, oy2, off2, _ = buffer_polygon(xs, ys, offs, 1.0)
+    assert len(off2) - 1 == 1
+    assert points_in_polygon(np.array([5.0]), np.array([5.0]),
+                             ox2, oy2, off2)[0]
+
+
+def test_disjoint_shells_buffer_independently():
+    xs = np.concatenate([SQUARE[0], SQUARE[0] + 100.0])
+    ys = np.concatenate([SQUARE[1], SQUARE[1]])
+    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 4, 8], 2.0)
+    assert not approx and len(off) - 1 == 2
+    assert points_in_polygon(np.array([-1.0, 99.0]), np.array([5.0, 5.0]),
+                             ox, oy, off).all()
+    assert not points_in_polygon(np.array([50.0]), np.array([5.0]),
+                                 ox, oy, off)[0]
+
+
+def test_overlapping_buffered_shells_merge_to_hull():
+    """Shells whose buffers overlap: even-odd XOR would punch a phantom
+    hole in the overlap — guard degrades to one hull ring (approx)."""
+    xs = np.concatenate([SQUARE[0], SQUARE[0] + 11.0])
+    ys = np.concatenate([SQUARE[1], SQUARE[1]])
+    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 4, 8], 2.0)
+    assert approx and len(off) - 1 == 1
+    # the seam point between the squares is covered (XOR would drop it)
+    assert points_in_polygon(np.array([10.5]), np.array([5.0]),
+                             ox, oy, off)[0]
+
+
+def test_zero_and_negative_distance():
+    xs, ys = SQUARE
+    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 4], 0.0)
+    assert np.array_equal(ox, xs) and np.array_equal(oy, ys)
+    with pytest.raises(ValueError):
+        buffer_polygon(xs, ys, [0, 4], -1.0)
+    with pytest.raises(ValueError):
+        buffer_polygon(np.array([0.0, 1.0]), np.array([0.0, 1.0]),
+                       [0, 2], 1.0)
+
+
+def test_st_buffer_polygon_udf(spark):
+    """UDF surface: kind 7 in -> kind 7 out with analytic bbox; a
+    MULTIPOLYGON keeps kind 8; unsupported kinds still error."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import functions as SF
+
+    # triangles, not axis-aligned quads: the parser demotes rectangle-
+    # shaped POLYGONs to kind=2 rects (MakeRectFromPoly), which buffer
+    # through the GEO rect branch instead
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 5 10, 0 0))", 2.0),
+         (2, "MULTIPOLYGON (((0 0, 10 0, 5 10, 0 0)),"
+             " ((100 0, 110 0, 105 10, 100 0)))", 2.0),
+         (3, "MULTIPOINT (0 0, 1 1)", 2.0)],
+        ["rid", "wkt", "d"])
+    s = SF.st_from_wkt(F.col("wkt"))
+    df = df.withColumn("s", s)
+    b = SF.st_buffer(
+        F.col("s.kind"), F.col("s.x"), F.col("s.y"), F.col("s.radius"),
+        F.col("s.minx"), F.col("s.maxx"), F.col("s.miny"), F.col("s.maxy"),
+        F.col("s.xs"), F.col("s.ys"), F.col("s.ring_offsets"), F.col("d"))
+    rows = {r["rid"]: r for r in df.select("rid", b.alias("b")).collect()}
+    assert rows[1]["b"]["kind"] == 7
+    assert rows[1]["b"]["minx"] == -2.0 and rows[1]["b"]["maxy"] == 12.0
+    assert rows[2]["b"]["kind"] == 8
+    assert len(rows[2]["b"]["ring_offsets"]) == 3
+    assert rows[3]["b"]["error"] is not None
+
+
+def test_erode_exact_half_width_collapses():
+    """A hole exactly 2d wide erodes to zero area -> dropped, not kept
+    as a degenerate collinear ring."""
+    from spatial4n_spark.kernels.buffer import _erode_convex_ring
+    assert _erode_convex_ring(np.array([4.0, 6.0, 6.0, 4.0]),
+                              np.array([4.0, 4.0, 6.0, 6.0]), 1.0) is None

@@ -56,6 +56,7 @@ def test_sql_function_registration(spark):
                          cast(null as double), cast(null as double),
                          cast(null as double),
                          cast(null as array<double>),
-                         cast(null as array<double>), 2.5).radius AS r
+                         cast(null as array<double>),
+                         cast(null as array<int>), 2.5).radius AS r
         FROM shapes_sql_test""").first()
     assert (row.x, row.y, row.r) == (10.5, -3.25, 2.5)
