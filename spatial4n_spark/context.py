@@ -29,6 +29,16 @@ class SpatialEngineContext:
     dateline_rule: str = "width180"     # none | width180 | ccwRect
     validation_rule: str = "error"      # none | error | repairConvexHull
     #                                   # | repairBuffer0
+    # union overlapping MULTIPOLYGON members at construction
+    # (NtsSpatialContext.IsAllowMultiOverlap :84, factory key :52,
+    # NtsGeometry.cs:64-94 UnionGeometryCollection)
+    allow_multi_overlap: bool = False
+    # prepared-geometry analog (NtsWktShapeParser.IsAutoIndex, factory
+    # key NtsSpatialContextFactory.cs:47-48,76,95; NtsGeometry.Index()
+    # :124-134): force the closure-refine join path — the engine's
+    # PreparedGeometry — instead of leaving it to the join planner's
+    # broadcast heuristic. Plumbed via JoinPlan.auto_index.
+    auto_index: bool = False
     # precision model (NtsSpatialContext.NormX/Y snap, :91-101; factory
     # keys precisionModel/precisionScale, NtsSpatialContextFactory.cs
     # :55-58,101-127)
@@ -57,6 +67,10 @@ class SpatialEngineContext:
                                              rec["miny"], rec["maxy"]))
         if str(args.get("normWrapLongitude", "")).lower() == "true":
             ctx = replace(ctx, norm_wrap_longitude=True)
+        if str(args.get("allowMultiOverlap", "")).lower() == "true":
+            ctx = replace(ctx, allow_multi_overlap=True)
+        if str(args.get("autoIndex", "")).lower() == "true":
+            ctx = replace(ctx, auto_index=True)
         dl = args.get("datelineRule")
         if dl is not None:
             from .kernels.wkt import DATELINE_RULES
@@ -103,7 +117,8 @@ class SpatialEngineContext:
         return parse_shape(wkt, geo=self.geo,
                            dateline_rule=self.dateline_rule,
                            validation_rule=self.validation_rule,
-                           snap=self.snap_fn())
+                           snap=self.snap_fn(),
+                           allow_multi_overlap=self.allow_multi_overlap)
 
     # ---- normalization / validation (SpatialContext.cs:172-207) ----
     def norm_x(self, x):

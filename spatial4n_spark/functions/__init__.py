@@ -60,7 +60,8 @@ _WKT_UDF_CACHE = {("width180", "error", True): _st_from_wkt_default}
 def st_from_wkt(texts, dateline_rule: str = "width180",
                 validation_rule: str = "error", geo: bool = True,
                 precision_model: str = "floating",
-                precision_scale: float | None = None):
+                precision_scale: float | None = None,
+                allow_multi_overlap: bool = False):
     """WKT -> shape struct (+ error column instead of exceptions).
 
     Parser semantics: Io/WktShapeParser.cs grammar incl. ENVELOPE arg
@@ -74,8 +75,8 @@ def st_from_wkt(texts, dateline_rule: str = "width180",
     variants are cached pandas UDFs with the rules bound in the closure.
     """
     key = (dateline_rule, validation_rule, geo, precision_model,
-           precision_scale)
-    if precision_model == "floating":
+           precision_scale, allow_multi_overlap)
+    if precision_model == "floating" and not allow_multi_overlap:
         key = (dateline_rule, validation_rule, geo)  # default-cache key
     udf = _WKT_UDF_CACHE.get(key)
     if udf is None:
@@ -84,11 +85,12 @@ def st_from_wkt(texts, dateline_rule: str = "width180",
         if validation_rule not in _wkt.VALIDATION_RULES:
             raise ValueError(f"unknown validation rule {validation_rule!r}")
         snap = _wkt.make_snap(precision_model, precision_scale)
+        amo = allow_multi_overlap
 
         @pandas_udf(SHAPE_SCHEMA)
         def _configured(t: pd.Series) -> pd.DataFrame:
             return pd.DataFrame(_wkt.parse_wkt_columns(
-                t, geo, dateline_rule, validation_rule, snap))
+                t, geo, dateline_rule, validation_rule, snap, amo))
 
         udf = _WKT_UDF_CACHE[key] = _configured
     return udf(texts)

@@ -1,0 +1,367 @@
+"""Polygon-union kernel for allowMultiOverlap (NtsGeometry.cs:64-94:
+``if (allowMultiOverlap) geom = UnionGeometryCollection(geom)`` —
+overlapping members of a MULTIPOLYGON are unioned at construction so
+downstream relate logic sees disjoint components).
+
+From-scratch Greiner–Hormann boundary traversal over two simple CCW
+rings with PROPER boundary crossings. Degenerate contact (shared
+vertices, vertex-on-edge, collinear overlapping edges) returns None —
+the caller falls back to the validation rule. Output is a ring LIST in
+even-odd form: one outer ring plus any pocket holes two interlocking
+C-shapes can enclose; the engine's global even-odd PIP consumes that
+directly.
+
+Scale note: this runs inside the Arrow parse batch, per shape — cost is
+O(|A|·|B|) per overlapping member pair, on shapes that are tiny next to
+the row counts around them.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _signed_area2(xs, ys) -> float:
+    return float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+
+
+def _ensure_ccw(xs, ys):
+    if _signed_area2(xs, ys) < 0.0:
+        return xs[::-1].copy(), ys[::-1].copy()
+    return xs, ys
+
+
+def _open_ccw(xs, ys):
+    """Drop a repeated closing vertex (WKT rings arrive closed — the
+    zero-length closing edge would read as degenerate contact) and
+    normalize to CCW."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    return _ensure_ccw(xs, ys)
+
+
+def _point_in_ring_strict(px, py, xs, ys) -> bool:
+    """Strict interior test (boundary excluded); callers guarantee the
+    point is not on the boundary (degenerate contact already bailed)."""
+    inside = False
+    n = len(xs)
+    for i in range(n):
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[(i + 1) % n], ys[(i + 1) % n]
+        if (ay > py) != (by > py):
+            x_at = ax + (py - ay) * (bx - ax) / (by - ay)
+            if px < x_at:
+                inside = not inside
+    return inside
+
+
+class _Node:
+    __slots__ = ("x", "y", "nxt", "inter", "twin", "entry", "visited")
+
+    def __init__(self, x, y, inter=False):
+        self.x = x
+        self.y = y
+        self.nxt = None
+        self.inter = inter
+        self.twin = None
+        self.entry = False
+        self.visited = False
+
+
+def _build_list(xs, ys, inters_per_edge):
+    """Circular list of ring vertices with intersection nodes spliced
+    in t-order along each edge. Returns (head, intersection nodes)."""
+    nodes = []
+    inter_nodes = []
+    n = len(xs)
+    for i in range(n):
+        nodes.append(_Node(xs[i], ys[i]))
+        for _, node in sorted(inters_per_edge.get(i, []), key=lambda e: e[0]):
+            nodes.append(node)
+            inter_nodes.append(node)
+    for i, nd in enumerate(nodes):
+        nd.nxt = nodes[(i + 1) % len(nodes)]
+    return nodes[0], inter_nodes
+
+
+def rings_properly_overlap(ax, ay, bx, by):
+    """(overlap, degenerate).
+
+    overlap: INTERIORS intersect — proper boundary crossings, or a
+    vertex of one ring strictly inside the other (boundary-aware: a
+    vertex lying ON the other boundary is skipped, so dateline-cut
+    pages and touching real-world members don't false-positive).
+    Boundary contact alone (shared vertices/edges, common in corpus
+    multipolygons and at ±180 page cuts) keeps even-odd parity correct
+    and reports (False, False) — the reference's ShapeCollection
+    accepts such members untouched. degenerate: overlap accompanied by
+    point/line boundary contact, which the union traversal can't node.
+
+    Documented blind spot: rings whose EVERY vertex lies on the other
+    ring's boundary (e.g. bit-identical members) pass undetected."""
+    ax, ay = _open_ccw(ax, ay)
+    bx, by = _open_ccw(bx, by)
+    crossings, point_touch, line_touch = _edge_crossings(ax, ay, bx, by)
+    degen = point_touch or line_touch
+    # two simple closed curves cross transversally an EVEN number of
+    # times; a lone crossing is float noise (dateline page cuts produce
+    # ~1e-7-degree slivers along ±180), not interior overlap
+    if len(crossings) >= 2:
+        return True, degen
+    from .pip import _ring_parity_and_boundary
+    in_a, bnd_a = _ring_parity_and_boundary(ax, ay, bx, by)
+    if _deep_inside(ax, ay, in_a & ~bnd_a, [(bx, by)]):
+        return True, degen
+    in_b, bnd_b = _ring_parity_and_boundary(bx, by, ax, ay)
+    if _deep_inside(bx, by, in_b & ~bnd_b, [(ax, ay)]):
+        return True, degen
+    return False, False
+
+
+# boundary "thickness" for containment: cut-line noise leaves vertices
+# O(1e-7) deg inside a neighboring page; genuine containment shallower
+# than 1e-6 deg (~0.1 m) is indistinguishable from that noise
+_BOUNDARY_EPS = 1e-6
+
+
+def _deep_inside(px, py, mask, rings) -> bool:
+    """Any masked vertex farther than _BOUNDARY_EPS from EVERY segment
+    of every ring in `rings` (the point is already parity-inside)."""
+    idx = np.nonzero(mask)[0]
+    if idx.size == 0:
+        return False
+    segs = []
+    for xs, ys in rings:
+        x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+        segs.append((xs, ys, x2 - xs, y2 - ys))
+    for i in idx:
+        best = np.inf
+        for xs, ys, ex, ey in segs:
+            L2 = ex * ex + ey * ey
+            L2s = np.where(L2 == 0.0, 1.0, L2)
+            t = np.clip(((px[i] - xs) * ex + (py[i] - ys) * ey) / L2s,
+                        0.0, 1.0)
+            d2 = (px[i] - (xs + t * ex)) ** 2 + (py[i] - (ys + t * ey)) ** 2
+            best = min(best, float(d2.min()))
+        if np.sqrt(best) > _BOUNDARY_EPS:
+            return True
+    return False
+
+
+def member_relation(rings_a, rings_b):
+    """(kind, degen) between two multipolygon MEMBERS, each a list of
+    (xs, ys) rings in even-odd form (shell + holes + dateline pages).
+
+    kind: 'none' (interiors disjoint; boundary touching allowed),
+    'cross' (boundaries cross transversally), 'a_contains_b' /
+    'b_contains_a' (one member's interior swallows the other).
+    Crossings use the even-count and endpoint-epsilon guards against
+    dateline-cut float slivers; containment is MEMBER-level even-odd
+    parity over ALL the other member's rings (so a member nested in
+    another member's HOLE — parity 2 — does not flag), and a vertex
+    must sit deeper than _BOUNDARY_EPS inside to count."""
+    from .pip import _ring_parity_and_boundary
+
+    opened_a = [_open_ccw(xs, ys) for xs, ys in rings_a]
+    opened_b = [_open_ccw(xs, ys) for xs, ys in rings_b]
+    degen = False
+    for ax, ay in opened_a:
+        for bx, by in opened_b:
+            crossings, pt, lt = _edge_crossings(ax, ay, bx, by)
+            degen |= pt or lt
+            if len(crossings) >= 2:
+                return "cross", degen
+
+    def contained(mine, other):
+        for xs, ys in mine:
+            parity = np.zeros(len(xs), dtype=bool)
+            bnd = np.zeros(len(xs), dtype=bool)
+            for ox, oy in other:
+                pin, pb = _ring_parity_and_boundary(xs, ys, ox, oy)
+                parity ^= pin
+                bnd |= pb
+            if _deep_inside(xs, ys, parity & ~bnd, other):
+                return True
+        return False
+    if contained(opened_b, opened_a):
+        return "a_contains_b", degen
+    if contained(opened_a, opened_b):
+        return "b_contains_a", degen
+    return "none", degen
+
+
+def _edge_crossings(ax, ay, bx, by):
+    """All proper edge crossings between two rings.
+
+    Returns (list[(i, t, j, u, x, y)], point_touch, line_touch):
+    point_touch = finite endpoint/vertex contact (valid multipolygon
+    touching, but unsupported by the union traversal); line_touch =
+    collinear edges sharing positive length (invalid contact)."""
+    na, nb = len(ax), len(bx)
+    a2x, a2y = np.roll(ax, -1), np.roll(ay, -1)
+    b2x, b2y = np.roll(bx, -1), np.roll(by, -1)
+    out = []
+    point_touch = False
+    line_touch = False
+    for i in range(na):
+        rx, ry = a2x[i] - ax[i], a2y[i] - ay[i]
+        qpx, qpy = bx - ax[i], by - ay[i]
+        sx, sy = b2x - bx, b2y - by
+        denom = rx * sy - ry * sx
+        t_num = qpx * sy - qpy * sx
+        u_num = qpx * ry - qpy * rx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = t_num / denom
+            u = u_num / denom
+        proper = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        touch = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1) \
+            & ~proper
+        if touch.any():
+            point_touch = True
+        coll = (denom == 0) & (t_num == 0)
+        if coll.any():
+            for j in np.nonzero(coll)[0]:
+                if rx != 0:
+                    lo, hi = min(ax[i], a2x[i]), max(ax[i], a2x[i])
+                    lo2, hi2 = min(bx[j], b2x[j]), max(bx[j], b2x[j])
+                else:
+                    lo, hi = min(ay[i], a2y[i]), max(ay[i], a2y[i])
+                    lo2, hi2 = min(by[j], b2y[j]), max(by[j], b2y[j])
+                if max(lo, lo2) < min(hi, hi2):
+                    line_touch = True
+                elif max(lo, lo2) == min(hi, hi2):
+                    point_touch = True
+        for j in np.nonzero(proper)[0]:
+            tt, uu = float(t[j]), float(u[j])
+            ix, iy = float(ax[i] + tt * rx), float(ay[i] + tt * ry)
+            # crossings within _BOUNDARY_EPS of any endpoint are the
+            # near-tangent slivers dateline page cuts leave at ±180 —
+            # classify as point contact, not interior overlap
+            d_end = min(np.hypot(ix - ax[i], iy - ay[i]),
+                        np.hypot(ix - a2x[i], iy - a2y[i]),
+                        np.hypot(ix - bx[j], iy - by[j]),
+                        np.hypot(ix - b2x[j], iy - b2y[j]))
+            if d_end <= _BOUNDARY_EPS:
+                point_touch = True
+                continue
+            out.append((i, tt, int(j), uu, ix, iy))
+    return out, point_touch, line_touch
+
+
+def union_rings(ax, ay, bx, by):
+    """Union of two simple rings -> list of (xs, ys) rings in even-odd
+    form (outer ring CCW; pocket holes come out CW — orientation is
+    irrelevant to the engine's even-odd PIP). Returns None on
+    degenerate boundary contact."""
+    ax, ay = _open_ccw(ax, ay)
+    bx, by = _open_ccw(bx, by)
+    crossings, point_touch, line_touch = _edge_crossings(ax, ay, bx, by)
+    if point_touch or line_touch:
+        return None
+    if not crossings:
+        if _point_in_ring_strict(ax[0], ay[0], bx, by):
+            return [(bx, by)]
+        if _point_in_ring_strict(bx[0], by[0], ax, ay):
+            return [(ax, ay)]
+        return [(ax, ay), (bx, by)]
+
+    a_edges: dict = {}
+    b_edges: dict = {}
+    for i, t, j, u, x, y in crossings:
+        na_ = _Node(x, y, inter=True)
+        nb_ = _Node(x, y, inter=True)
+        na_.twin = nb_
+        nb_.twin = na_
+        a_edges.setdefault(i, []).append((t, na_))
+        b_edges.setdefault(j, []).append((u, nb_))
+    a_head, a_inters = _build_list(ax, ay, a_edges)
+    b_head, _ = _build_list(bx, by, b_edges)
+
+    # entry/exit marking: walk each list; status flips at every proper
+    # crossing. node.entry == True means the walk ENTERS the other ring
+    # at this node.
+    for head, ox, oy in ((a_head, bx, by), (b_head, ax, ay)):
+        inside = _point_in_ring_strict(head.x, head.y, ox, oy)
+        nd = head
+        while True:
+            if nd.inter:
+                nd.entry = not inside
+                inside = not inside
+            nd = nd.nxt
+            if nd is head:
+                break
+
+    # union traversal: follow a list while OUTSIDE the other ring; at
+    # every intersection jump to the twin and keep walking forward.
+    # Starting from exit nodes extracts every union-boundary loop
+    # (outer ring AND any pocket holes two interlocking C-shapes
+    # enclose — hole loops also contain exit nodes). A step guard
+    # bounds the walk; exceeding it means inconsistent links (possible
+    # only under near-degenerate float geometry) -> None.
+    max_steps = 4 * (len(ax) + len(bx) + 2 * len(crossings))
+    rings = []
+    for start in a_inters:
+        if start.visited or start.entry:
+            continue
+        # the start node is an EXIT: the piece of its own list after it
+        # is outside the other ring, so walk FORWARD from it (jumping to
+        # the twin at the start would head into the intersection region)
+        start.visited = True
+        start.twin.visited = True
+        loop_x, loop_y = [start.x], [start.y]
+        nd = start.nxt
+        steps = 0
+        while True:
+            steps += 1
+            if steps > max_steps:
+                return None
+            if nd.inter:
+                if nd.visited:
+                    break
+                nd.visited = True
+                nd.twin.visited = True
+                loop_x.append(nd.x)
+                loop_y.append(nd.y)
+                nd = nd.twin.nxt
+            else:
+                loop_x.append(nd.x)
+                loop_y.append(nd.y)
+                nd = nd.nxt
+        if len(loop_x) >= 3:
+            rings.append((np.asarray(loop_x), np.asarray(loop_y)))
+    return rings
+
+
+def union_many(rings):
+    """Union a list of simple rings [(xs, ys), ...] by pairwise
+    Greiner–Hormann passes until no two PRIMARY rings overlap.
+
+    Pocket-hole rings produced by a pairwise union join the output
+    passively (even-odd), documented limitation: a later ring that
+    overlaps a pocket hole is not re-clipped against it. Returns None
+    on degenerate contact anywhere."""
+    out: list = []
+    for rx, ry in rings:
+        rx = np.asarray(rx, dtype=np.float64)
+        ry = np.asarray(ry, dtype=np.float64)
+        merged = False
+        for k in range(len(out)):
+            ox, oy = out[k]
+            overlap, degen = rings_properly_overlap(rx, ry, ox, oy)
+            if degen:
+                return None
+            if overlap:
+                u = union_rings(rx, ry, ox, oy)
+                if u is None:
+                    return None
+                # largest-area ring is the new primary at slot k;
+                # extras (holes or the disjoint pair) append passively
+                u.sort(key=lambda r: -abs(_signed_area2(r[0], r[1])))
+                out[k] = u[0]
+                out.extend(u[1:])
+                merged = True
+                break
+        if not merged:
+            out.append((rx, ry))
+    return out

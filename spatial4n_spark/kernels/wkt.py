@@ -573,6 +573,107 @@ def _merge_polygon_members(members) -> dict:
     return d
 
 
+def _member_rings(m):
+    """Polygon record -> list of (xs, ys) numpy ring pairs."""
+    ro = m["ring_offsets"] or [0, len(m["xs"])]
+    xs = np.asarray(m["xs"], dtype=np.float64)
+    ys = np.asarray(m["ys"], dtype=np.float64)
+    return [(xs[ro[k]:ro[k + 1]], ys[ro[k]:ro[k + 1]])
+            for k in range(len(ro) - 1)]
+
+
+def _rings_to_closed(rx, ry):
+    return ([(float(x), float(y)) for x, y in zip(rx, ry)]
+            + [(float(rx[0]), float(ry[0]))])
+
+
+def _resolve_multi_overlap(members, geo, dateline_rule, validation_rule,
+                           allow_multi_overlap) -> dict:
+    """MULTIPOLYGON assembly with the reference's COLLECTION-fold
+    semantics. The reference parses MULTIPOLYGON into a ShapeCollection
+    of independently-validated members (NtsWktShapeParser.cs:184-202,
+    MakeCollection) whose relate is the member fold — i.e. UNION
+    semantics, overlapping members allowed. This engine stores one
+    even-odd ring set, where an overlap would XOR into a phantom hole,
+    so overlap is resolved at parse time:
+
+    - interiors disjoint (boundary touching fine) -> plain merge;
+    - one member swallows another -> contained member dropped
+      (= its union);
+    - transversal crossings between single-ring members without
+      degenerate contact -> exact Greiner-Hormann union
+      (kernels.union, the UnionGeometryCollection analog of
+      NtsGeometry.cs:64-94);
+    - exact union INFEASIBLE (degenerate boundary contact, or
+      crossings on holed/paged members): allowMultiOverlap=true
+      (factory key, NtsSpatialContextFactory.cs:52) degrades to the
+      convex hull of the overlapping members — a documented
+      approximate union; otherwise the validationRule decides
+      (error | repairConvexHull -> hull | repairBuffer0 -> hull |
+      none -> merged as-is with the even-odd artifact).
+    """
+    from .union import member_relation, union_many
+
+    rings_per = [_member_rings(m) for m in members]
+    n = len(members)
+    dropped = [False] * n
+    crossing = [False] * n
+    any_cross = degen = False
+    for i in range(n):
+        if dropped[i]:
+            continue
+        for j in range(i + 1, n):
+            if dropped[j]:
+                continue
+            mi, mj = members[i], members[j]
+            # bbox gate; skipped for dateline-wrapped boxes (minx>maxx)
+            if (mi["minx"] <= mi["maxx"] and mj["minx"] <= mj["maxx"]
+                and (min(mi["maxx"], mj["maxx"])
+                     < max(mi["minx"], mj["minx"])
+                     or min(mi["maxy"], mj["maxy"])
+                     < max(mi["miny"], mj["miny"]))):
+                continue
+            kind, dg = member_relation(rings_per[i], rings_per[j])
+            degen |= dg and kind != "none"
+            if kind == "a_contains_b":
+                dropped[j] = True
+            elif kind == "b_contains_a":
+                dropped[i] = True
+                break
+            elif kind == "cross":
+                crossing[i] = crossing[j] = True
+                any_cross = True
+    keep = [k for k in range(n) if not dropped[k]]
+    if validation_rule == "none":
+        return _merge_polygon_members(members)
+    if not any_cross:
+        # containment drops (if any) already realize the union
+        return _merge_polygon_members([members[k] for k in keep])
+
+    cross_ids = [k for k in keep if crossing[k]]
+    if not degen and all(len(rings_per[k]) == 1 for k in cross_ids):
+        unioned = union_many([rings_per[k][0] for k in cross_ids])
+        if unioned is not None:
+            recs = [_mk_polygon([_rings_to_closed(rx, ry)], geo,
+                                dateline_rule, "none")
+                    for rx, ry in unioned]
+            recs += [members[k] for k in keep if not crossing[k]]
+            return _merge_polygon_members(recs)
+    # exact union infeasible
+    if allow_multi_overlap or validation_rule == "repairConvexHull" \
+            or validation_rule == "repairBuffer0":
+        hull = _convex_hull_ring(
+            [_rings_to_closed(rx, ry)
+             for k in cross_ids for rx, ry in rings_per[k]])
+        recs = [_mk_polygon([hull], geo, dateline_rule, "none")]
+        recs += [members[k] for k in keep if not crossing[k]]
+        return _merge_polygon_members(recs)
+    raise WktParseError(
+        "invalid multipolygon: overlapping components not exactly "
+        "unionable (degenerate contact or holes/pages); set "
+        "allowMultiOverlap=true for an approximate hull union")
+
+
 def _mk_multi_parts(parts, kind) -> dict:
     """Multi-polygon (one ring per part, holes not nested across parts)."""
     d = _empty(kind)
@@ -663,7 +764,7 @@ def unregister_shape_parser(word: str) -> None:
 def parse_shape(wkt: str, geo: bool = True,
                 dateline_rule: str = "width180",
                 validation_rule: str = "error",
-                snap=None) -> dict:
+                snap=None, allow_multi_overlap: bool = False) -> dict:
     """Parse one WKT string to a shape record. Raises WktParseError.
 
     dateline_rule / validation_rule mirror NtsSpatialContextFactory's
@@ -676,14 +777,16 @@ def parse_shape(wkt: str, geo: bool = True,
     if validation_rule not in VALIDATION_RULES:
         raise ValueError(f"unknown validation rule {validation_rule!r}")
     st = _State(wkt, snap=snap)
-    shape = _parse_shape(st, geo, dateline_rule, validation_rule)
+    shape = _parse_shape(st, geo, dateline_rule, validation_rule,
+                         allow_multi_overlap)
     if not st.at_end():
         raise WktParseError(f"trailing input at {st.pos}")
     return shape
 
 
 def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
-                 validation_rule: str = "error") -> dict:
+                 validation_rule: str = "error",
+                 allow_multi_overlap: bool = False) -> dict:
     word = st.next().upper()
     custom = CUSTOM_SHAPE_PARSERS.get(word)
     if custom is not None:
@@ -778,7 +881,8 @@ def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
                 break
             if tok != ",":
                 raise WktParseError(f"expected , or ) got {tok!r}")
-        return _merge_polygon_members(members)
+        return _resolve_multi_overlap(members, geo, dateline_rule,
+                                      validation_rule, allow_multi_overlap)
     if word == "GEOMETRYCOLLECTION":
         _maybe_dims(st)
         if _maybe_empty(st):
@@ -789,7 +893,8 @@ def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
         members = []
         while True:
             members.append(_parse_shape(st, geo, dateline_rule,
-                                        validation_rule))
+                                        validation_rule,
+                                        allow_multi_overlap))
             tok = st.next()
             if tok == ")":
                 break
@@ -807,7 +912,8 @@ def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
     if word == "BUFFER":
         # spatial4n extension (:228-239): BUFFER(shape, dist)
         st.expect("(")
-        inner = _parse_shape(st, geo, dateline_rule, validation_rule)
+        inner = _parse_shape(st, geo, dateline_rule, validation_rule,
+                             allow_multi_overlap)
         st.expect(",")
         dist = st.number()
         st.expect(")")
@@ -822,7 +928,7 @@ def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
 def parse_wkt_batch(texts, geo: bool = True,
                     dateline_rule: str = "width180",
                     validation_rule: str = "error",
-                    snap=None):
+                    snap=None, allow_multi_overlap: bool = False):
     """Batch parse: list/Series of WKT -> (records, errors) parallel lists.
 
     records[i] is a shape dict or None; errors[i] is None or the reason.
@@ -859,7 +965,8 @@ def parse_wkt_batch(texts, geo: bool = True,
     for i in rest:
         try:
             records[i] = parse_shape(vals[i], geo, dateline_rule,
-                                     validation_rule, snap)
+                                     validation_rule, snap,
+                                     allow_multi_overlap)
         except Exception as e:  # noqa: BLE001 - kernels never throw
             errors[i] = str(e)[:200]
     return records, errors
@@ -868,7 +975,7 @@ def parse_wkt_batch(texts, geo: bool = True,
 def parse_wkt_columns(texts, geo: bool = True,
                       dateline_rule: str = "width180",
                       validation_rule: str = "error",
-                      snap=None) -> dict:
+                      snap=None, allow_multi_overlap: bool = False) -> dict:
     """Columnar batch parse for the Arrow UDF: dict of arrays matching
     the Spark shape-struct schema. The dominant POINT case never builds
     per-row objects — coordinates land straight in the output arrays.
@@ -992,7 +1099,7 @@ def parse_wkt_columns(texts, geo: bool = True,
     for i in np.nonzero(todo)[0]:
         try:
             rec = parse_shape(vals[i], geo, dateline_rule, validation_rule,
-                              snap)
+                              snap, allow_multi_overlap)
             kind[i] = rec["kind"]
             x[i] = rec["x"]; y[i] = rec["y"]; radius[i] = rec["radius"]
             minx[i] = rec["minx"]; maxx[i] = rec["maxx"]

@@ -18,10 +18,16 @@ identical, only the message rule changes.
 
 Scale notes (1e9+ docs): labels and messages are 2-column narrow rows;
 the per-round shuffle is bounded by |E| + |V|, never materializes
-components; convergence probe is a count over a localCheckpoint'd
-frame (no extra lineage).
+components; convergence probe is a count over the materialized frame
+(no extra lineage). Per-round materialization is localCheckpoint by
+default (executor block-manager memory — fastest at bench scale); pass
+``stage_dir`` to stage rounds through PARQUET instead: spill-safe at
+1e9+ nodes where pinned checkpoint blocks would pressure executor
+memory, and each round's files survive executor loss.
 """
 from __future__ import annotations
+
+import shutil
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -31,7 +37,8 @@ def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          vertices: DataFrame | None = None,
                          max_iter: int = 25,
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         stage_dir: str | None = None) -> DataFrame:
     """(node, label) with label = min node id of the component.
 
     `vertices` (single-column DataFrame, optional) adds isolated nodes
@@ -39,41 +46,61 @@ def connected_components(edges: DataFrame, src: str = "src",
     fixpoint was not reached within max_iter (non-converged labels are
     silently WRONG otherwise); the min label travels one hop per round,
     so max_iter bounds the component diameter this call can handle.
+    `stage_dir`: directory for parquet round staging (see module doc);
+    None = in-memory localCheckpoint. Results are identical.
     """
+    spark = edges.sparkSession
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        """Round barrier: triggers the plan (firing its Observation)
+        and truncates lineage — via block-manager checkpoint or a
+        parquet stage."""
+        if stage_dir is None:
+            return df.localCheckpoint()
+        path = f"{stage_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _drop_stage(name: str) -> None:
+        if stage_dir is not None:
+            shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
+
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the symmetrized edge list ONCE: it is re-joined every
     # round (and by the convergence probe), and the upstream edge
     # derivation can be an expensive pipeline (e.g. the MinHash-LSH
     # self-join feeding dedup_clusters)
-    sym = (und.union(und.select(F.col("b").alias("a"),
-                                F.col("a").alias("b")))
-           .localCheckpoint())
+    sym = _materialize(und.union(und.select(F.col("b").alias("a"),
+                                            F.col("a").alias("b"))), "sym")
     nodes = sym.select(F.col("a").alias("node")).distinct()
     if vertices is not None:
         vcol = vertices.columns[0]
         nodes = nodes.union(
             vertices.select(F.col(vcol).alias("node"))).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    labels = _materialize(nodes.withColumn("label", F.col("node")),
+                          "labels_r0")
 
     converged = False
     for i in range(max_iter):
         msgs = (sym.join(labels, sym["a"] == labels["node"], "inner")
                    .select(F.col("b").alias("node"), F.col("label")))
-        # convergence probe rides the SAME job as the checkpoint (an
-        # Observation over the old-vs-new label join) — one pass over
-        # the data per round instead of checkpoint + probe jobs
+        # convergence probe rides the SAME job as the materialization
+        # (an Observation over the old-vs-new label join) — one pass
+        # over the data per round instead of checkpoint + probe jobs
         obs = Observation(f"cc_round_{i}")
-        new_labels = (labels.select("node", "label").union(msgs)
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .join(labels.select(F.col("node"),
-                                          F.col("label").alias("__old")),
-                            "node")
-                      .observe(obs, F.sum(
-                          (F.col("label") != F.col("__old")).cast("long"))
-                          .alias("nchanged"))
-                      .select("node", "label")
-                      .localCheckpoint())
+        new_labels = _materialize(
+            labels.select("node", "label").union(msgs)
+                  .groupBy("node").agg(F.min("label").alias("label"))
+                  .join(labels.select(F.col("node"),
+                                      F.col("label").alias("__old")),
+                        "node")
+                  .observe(obs, F.sum(
+                      (F.col("label") != F.col("__old")).cast("long"))
+                      .alias("nchanged"))
+                  .select("node", "label"),
+            f"labels_r{i + 1}")
         labels = new_labels
+        _drop_stage(f"labels_r{i}")  # consumed by the write just done
         if not obs.get["nchanged"]:
             converged = True
             break

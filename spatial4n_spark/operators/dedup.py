@@ -210,16 +210,19 @@ def embedding_neardup_banded(embeddings: DataFrame, id_col: str = "vec_id",
 
 def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
                    text: str = "text", n_hashes: int = 16, bands: int = 4,
-                   shingle_n: int = 2) -> DataFrame:
+                   shingle_n: int = 2,
+                   stage_dir: str | None = None) -> DataFrame:
     """Near-dup CLUSTERS: LSH candidate pairs -> connected components.
 
     The production MinHash-dedup tail: every doc gets a cluster_id
     (= min doc id of its component; singletons label themselves), so a
     downstream `where(doc_id == cluster_id)` keeps one canonical doc
-    per near-dup group."""
+    per near-dup group. `stage_dir` stages CC rounds through parquet
+    (spill-safe at 1e9+ nodes) instead of localCheckpoint."""
     from .components import connected_components
     pairs = minhash_lsh_pairs(df, id_col, text, n_hashes, bands, shingle_n)
     cc = connected_components(pairs, "doc_a", "doc_b",
-                              vertices=df.select(id_col))
+                              vertices=df.select(id_col),
+                              stage_dir=stage_dir)
     return cc.select(F.col("node").alias(id_col),
                      F.col("label").alias("cluster_id"))

@@ -90,7 +90,8 @@ def point_in_shape_join(points: DataFrame, shapes: DataFrame, plan: JoinPlan,
     Output carries the point columns + shape_id + relation (no shape
     struct). Falls back to the struct path above 2M total vertices.
     """
-    if (shape_id is not None and plan.broadcast_shapes
+    if (shape_id is not None
+            and (plan.broadcast_shapes or getattr(plan, "auto_index", False))
             and not (plan.shape_kinds is not None
                      and set(plan.shape_kinds) <= {2})):
         out = _point_in_shape_join_closure(points, shapes, plan,

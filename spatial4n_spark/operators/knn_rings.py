@@ -72,7 +72,8 @@ def knn_ring_join(points: DataFrame, queries: DataFrame, k: int,
                   rerank_calculator: str = "vincentySphere",
                   tie_break: str | None = None,
                   max_rounds: int = 12,
-                  start_r: int = 1) -> DataFrame:
+                  start_r: int = 1,
+                  stage_dir: str | None = None) -> DataFrame:
     """Exact k nearest points per query; no radius parameter.
 
     Returns (query cols..., point cols..., dist_exact, knn_rank<=k).
@@ -83,7 +84,21 @@ def knn_ring_join(points: DataFrame, queries: DataFrame, k: int,
     sf0.1/precision 2: 1 beats 2 (the bigger first window costs more
     than the round it saves) — raise it when k is large relative to
     per-cell density.
+
+    `stage_dir`: stage per-round accumulators (ranked results, live
+    query set) through parquet instead of localCheckpoint — spill-safe
+    when the query side is huge (pinned checkpoint blocks would hold
+    every round's <= |live| x k rows in executor memory). Results are
+    identical; None (default) keeps the in-memory path.
     """
+    spark = points.sparkSession
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        if stage_dir is None:
+            return df.localCheckpoint()
+        path = f"{stage_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
     h = HASH_LEN_TO_LAT_HEIGHT[precision]
     w = HASH_LEN_TO_LON_WIDTH[precision]
     nbits = precision * 5
@@ -117,7 +132,7 @@ def knn_ring_join(points: DataFrame, queries: DataFrame, k: int,
             # materialize ONCE (<= live x k rows): stats, the
             # solved-ids semi-join, and the final union otherwise each
             # re-execute this round's cell join + window
-            ranked = ranked.localCheckpoint()
+            ranked = _materialize(ranked, f"ranked_r{r}")
 
         if full_grid:
             done_parts.append(ranked.drop("cell_id"))
@@ -143,10 +158,11 @@ def knn_ring_join(points: DataFrame, queries: DataFrame, k: int,
                   .drop("cell_id"))
         live = (qstat.where(~F.coalesce(F.col("__ok"), F.lit(False)))
                      .select(*[c for c in live.columns]))
-        # eager localCheckpoint: truncates the per-round lineage AND
-        # releases the previous round's blocks via the ContextCleaner
-        # once unreferenced (persist() would pin them for the session).
-        live = live.localCheckpoint()
+        # eager materialization: truncates the per-round lineage AND
+        # (in-memory path) releases the previous round's blocks via the
+        # ContextCleaner once unreferenced (persist() would pin them
+        # for the session).
+        live = _materialize(live, f"live_r{r}")
         if live.isEmpty():
             live = None
             break

@@ -25,6 +25,12 @@ class JoinPlan:
     # (RectangleImpl.cs:176-209), so the Python refine kernel is
     # skipped entirely — the whole join stays in whole-stage codegen.
     shape_kinds: tuple | None = None
+    # autoIndex factory key (NtsSpatialContextFactory.cs:47-48,76):
+    # force the closure-refine path — the PreparedGeometry analog —
+    # even when the broadcast heuristic wouldn't pick it. The rect-only
+    # JVM gate still wins when shape_kinds == (2,) (it is strictly
+    # cheaper than any prepared index).
+    auto_index: bool = False
 
 
 def pick_cell_level(median_width_deg: float, median_height_deg: float,
@@ -53,7 +59,8 @@ def plan_point_shape_join(n_points: int, n_shapes: int,
                           shape_bytes_estimate: int = 1024,
                           broadcast_threshold: int = 64 * 1024 * 1024,
                           hot_cell_ratio: float | None = None,
-                          shape_kinds: tuple | None = None) -> JoinPlan:
+                          shape_kinds: tuple | None = None,
+                          auto_index: bool = False) -> JoinPlan:
     """Plan the coarse/refine spatial join.
 
     - level from median shape size;
@@ -71,7 +78,8 @@ def plan_point_shape_join(n_points: int, n_shapes: int,
     if not broadcast and hot_cell_ratio is not None and hot_cell_ratio > 0.05:
         salt = 16
     return JoinPlan(precision=precision, broadcast_shapes=broadcast,
-                    salt=salt, max_cover_cells=4096, shape_kinds=shape_kinds)
+                    salt=salt, max_cover_cells=4096, shape_kinds=shape_kinds,
+                    auto_index=auto_index)
 
 
 def estimate_hot_cell_ratio(points, x: str = "x", y: str = "y",

@@ -65,3 +65,23 @@ def test_cc_strict_raises_on_nonconvergence(spark):
     edf = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edf, max_iter=3)
+
+
+def test_parquet_stage_equals_in_memory(spark, tmp_path):
+    """stage_dir (100 TB spill-safe path): parquet-staged rounds must
+    produce exactly the in-memory localCheckpoint labels."""
+    from spatial4n_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (11, 12), (3, 4)],
+        ["src", "dst"])
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,), (10,), (11,),
+                                   (12,), (20,), (99,)], ["node"])
+    mem = {(r["node"], r["label"])
+           for r in connected_components(edges, vertices=verts).collect()}
+    pq = {(r["node"], r["label"])
+          for r in connected_components(
+              edges, vertices=verts,
+              stage_dir=str(tmp_path / "cc_stage")).collect()}
+    assert mem == pq
+    assert (99, 99) in pq  # isolated vertex labels itself

@@ -133,3 +133,54 @@ def test_spark_st_from_wkt_precision(spark):
     assert (got[0]["x"], got[0]["y"]) == (10.12, -3.99)
     assert (got[1]["minx"], got[1]["maxx"],
             got[1]["miny"], got[1]["maxy"]) == (1.0, 2.01, 3.0, 5.01)
+
+
+def test_auto_index_factory_key(spark):
+    """autoIndex (NtsSpatialContextFactory.cs:47-48,76,95): force the
+    closure-refine join — the engine's PreparedGeometry analog
+    (NtsGeometry.Index(), :124-134) — even when the broadcast
+    heuristic would take the struct path."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import functions as SF
+    from spatial4n_spark import operators
+    from spatial4n_spark.context import SpatialEngineContext
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan, plan_point_shape_join
+
+    ctx = SpatialEngineContext.from_args({"autoIndex": "true"})
+    assert ctx.auto_index
+    assert not SpatialEngineContext().auto_index
+    plan = plan_point_shape_join(1000, 10, 5.0, 5.0,
+                                 auto_index=ctx.auto_index)
+    assert plan.auto_index
+
+    shapes = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 5 9, 0 0))")], ["sid", "wkt"]) \
+        .withColumn("shape", SF.st_from_wkt(F.col("wkt"))).select("sid", "shape")
+    pts = spark.createDataFrame([(1, 5.0, 2.0), (2, 50.0, 2.0)],
+                                ["pid", "x", "y"])
+    import spatial4n_spark.operators.joins as J
+    called = []
+    orig = J._point_in_shape_join_closure
+
+    def spy(*a, **kw):
+        called.append(1)
+        return orig(*a, **kw)
+    J._point_in_shape_join_closure = spy
+    try:
+        # broadcast off + auto_index on -> closure path still taken
+        plan2 = JoinPlan(precision=2, broadcast_shapes=False, salt=None,
+                         max_cover_cells=4096, auto_index=True)
+        out = point_in_shape_join(pts, shapes, plan2, shape_id="sid")
+        assert [r["pid"] for r in out.select("pid").collect()] == [1]
+        assert called
+        # broadcast off + auto_index off -> struct path
+        called.clear()
+        plan3 = JoinPlan(precision=2, broadcast_shapes=False, salt=None,
+                         max_cover_cells=4096)
+        out = point_in_shape_join(pts, shapes, plan3, shape_id="sid")
+        assert [r["pid"] for r in out.select("pid").collect()] == [1]
+        assert not called
+    finally:
+        J._point_in_shape_join_closure = orig

@@ -109,3 +109,26 @@ def test_hot_cell_ratio_drives_salting(spark):
     p2 = plan_point_shape_join(10**9, 10**6, 1.0, 1.0,
                                hot_cell_ratio=r_uni)
     assert p2.salt is None
+
+
+def test_knn_rings_parquet_stage_equals_in_memory(spark, tmp_path):
+    """stage_dir: parquet-staged ring rounds == localCheckpoint rounds."""
+    import os
+
+    from spatial4n_spark.operators.knn_rings import knn_ring_join
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    pts = (spark.read.parquet(os.path.join(sf, "customer.parquet"))
+           .selectExpr("c_custkey AS pid",
+                       "(((c_custkey * 9973) % 72000) / 200.0 - 180.0) AS x",
+                       "(((c_custkey * 9967) % 36000) / 200.0 - 90.0) AS y"))
+    qs = (spark.read.parquet(os.path.join(sf, "nation.parquet"))
+          .selectExpr("n_nationkey AS query_id",
+                      "(((n_nationkey * 131) % 360) - 180.0) AS qx",
+                      "(((n_nationkey * 67) % 180) - 90.0) AS qy"))
+    a = knn_ring_join(pts, qs, k=3, tie_break="pid")
+    b = knn_ring_join(pts, qs, k=3, tie_break="pid",
+                      stage_dir=str(tmp_path / "knn_stage"))
+    ka = {(r["query_id"], r["knn_rank"], r["pid"]) for r in a.collect()}
+    kb = {(r["query_id"], r["knn_rank"], r["pid"]) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
