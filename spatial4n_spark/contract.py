@@ -871,28 +871,39 @@ SELECT vec_id, CAST({_ddb_bucket(8)} AS INT) AS bucket FROM embeddings
 """
 
 
+_RECT_STRUCT_SQL = (
+    "named_struct('kind', cast(2 as tinyint), 'x', cast(null as double),"
+    " 'y', cast(null as double), 'radius', cast(null as double),"
+    " 'minx', minx, 'maxx', maxx, 'miny', miny, 'maxy', maxy,"
+    " 'xs', cast(null as array<double>), 'ys', cast(null as array<double>),"
+    " 'ring_offsets', cast(null as array<int>),"
+    " 'error', cast(null as string)) AS shape")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector zonal stats over the synthetic tile set (decode
-    stub, real Spark plumbing). Tagged union of BOTH zone families:
+    stub, real Spark plumbing). Tagged union of BOTH zone families —
     plain-rect zones (closed-rect containment) and POLYGON zones
-    (supplier triangles via the even-odd PIP refine) — the general
-    raster<->vector case."""
-    from .operators.zonal import (decode_raster_tiles, zonal_stats,
-                                  zonal_stats_poly)
+    (supplier triangles via the even-odd PIP refine) — run as ONE
+    mixed-kind zone layer through a single cell-join + closure-refine
+    pass over the pixels (zonal_stats_tagged): the pixel side is
+    scanned once, not once per family."""
+    from .operators.zonal import decode_raster_tiles, zonal_stats_tagged
     refs = spark.range(0, 64).selectExpr(
         "concat('raster://tile/', cast(id as string)) AS media_ref")
-    pixels = decode_raster_tiles(refs).localCheckpoint()
-    rects = nation_plain_rects(spark, sf_dir)
-    polys = supplier_triangles(spark, sf_dir)
-    a = (zonal_stats(pixels, rects)
-         .select(F.lit("rect").alias("zone_kind"),
-                 F.col("rect_id").cast("bigint").alias("zone_id"),
-                 "px_count", "px_sum"))
-    b = (zonal_stats_poly(pixels, polys)
-         .select(F.lit("poly").alias("zone_kind"),
-                 F.col("poly_id").cast("bigint").alias("zone_id"),
-                 "px_count", "px_sum"))
-    return a.unionByName(b)
+    pixels = decode_raster_tiles(refs)
+    rects = nation_plain_rects(spark, sf_dir).selectExpr(
+        "'rect' AS zone_kind", "cast(rect_id as bigint) AS zone_id",
+        _RECT_STRUCT_SQL)
+    polys = supplier_triangles(spark, sf_dir).selectExpr(
+        "'poly' AS zone_kind", "cast(poly_id as bigint) AS zone_id",
+        "shape")
+    # materialize the small zone layer ONCE: its WKT-parse lineage is
+    # otherwise re-executed by each consumer (closure-table collect,
+    # slim-bbox broadcast, cover-code broadcast) — three Python stages
+    # re-parsing the same layer dominated the r3 suite time
+    zones = rects.unionByName(polys).localCheckpoint()
+    return zonal_stats_tagged(pixels, zones)
 
 
 ORACLE_ZONAL = f"""

@@ -148,3 +148,40 @@ def zonal_stats_poly(pixels: DataFrame, polys: DataFrame,
              .agg(F.count("*").alias("px_count"),
                   F.sum("value").alias("px_sum"),
                   F.round(F.sum("value") / F.count("*").cast("double"), 6).alias("px_mean")))
+
+
+def zonal_stats_tagged(pixels: DataFrame, zones: DataFrame,
+                       precision: int = 2) -> DataFrame:
+    """ONE coarse/refine pass for a MIXED zone layer.
+
+    `zones`: (zone_kind string, zone_id bigint, shape struct) — rect
+    zones as kind=2 structs, polygon zones as parsed shapes, any other
+    shape kind welcome. All families share a single cell-code
+    equi-join + closure refine over the pixels instead of one
+    join/aggregate branch per family (the r3 layout ran the 16k-pixel
+    scan and its gate twice and paid a second Spark job for the second
+    family — at 100 TB of pixels that's a doubled pixel scan).
+
+    The closure key is zone_kind#zone_id (unique across families);
+    splitting it back after the aggregate is two JVM string ops on
+    |zones| rows.
+    """
+    from ..plans.strategy import JoinPlan
+    from .joins import point_in_shape_join
+
+    zkeyed = zones.select(
+        F.concat_ws("#", "zone_kind",
+                    F.col("zone_id").cast("string")).alias("__zkey"),
+        "shape")
+    plan = JoinPlan(precision=precision, broadcast_shapes=True,
+                    salt=None, max_cover_cells=4096)
+    j = point_in_shape_join(pixels, zkeyed, plan,
+                            point_x="px_lon", point_y="px_lat",
+                            shape_id="__zkey")
+    agg = (j.groupBy("__zkey")
+            .agg(F.count("*").alias("px_count"),
+                 F.sum("value").alias("px_sum")))
+    split = F.split(F.col("__zkey"), "#")
+    return agg.select(split.getItem(0).alias("zone_kind"),
+                      split.getItem(1).cast("bigint").alias("zone_id"),
+                      "px_count", "px_sum")
