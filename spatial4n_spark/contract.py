@@ -2306,13 +2306,31 @@ def q_wkt_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN 6 THEN 'POLYGON((0 5, 10 5, 10 20, 0 20, 0 5))'
             ELSE 'POLYGON((0 0, 10 0, 10 20))'
             END AS wkt""")
+    # multi-overlap resolution family (kernels/union.py), exercised on
+    # the case-5 rows: crossing MULTIPOLYGON members union exactly by
+    # default (collection-fold semantics, NtsWktShapeParser.cs:184-202);
+    # degenerate-contact overlap errors by default and hulls under
+    # allowMultiOverlap=true (NtsGeometry.cs:64-94 spirit)
+    mo_wkt = ("MULTIPOLYGON(((0 0, 10 0, 10 10, 0 10, 0 0)),"
+              " ((5 5, 15 5, 15 15, 5 15, 5 5)))")
+    md_wkt = ("MULTIPOLYGON(((0 0, 10 0, 10 10, 0 10, 0 0)),"
+              " ((0 0, 14 5, 5 14, 0 0)))")
+    src = src.selectExpr(
+        "*",
+        f"CASE WHEN o_orderkey % 8 = 5 THEN '{mo_wkt}' END AS mo_wkt",
+        f"CASE WHEN o_orderkey % 8 = 5 THEN '{md_wkt}' END AS md_wkt")
     parsed = (src
               .withColumn("s", SF.st_from_wkt(F.col("wkt")))
               .withColumn("sh", SF.st_from_wkt(
                   F.col("wkt"), validation_rule="repairConvexHull"))
               .withColumn("sb", SF.st_from_wkt(
-                  F.col("wkt"), validation_rule="repairBuffer0")))
+                  F.col("wkt"), validation_rule="repairBuffer0"))
+              .withColumn("mo", SF.st_from_wkt(F.col("mo_wkt")))
+              .withColumn("md", SF.st_from_wkt(F.col("md_wkt")))
+              .withColumn("mh", SF.st_from_wkt(
+                  F.col("md_wkt"), allow_multi_overlap=True)))
     s, sh, sb = F.col("s"), F.col("sh"), F.col("sb")
+    mo, md, mh = F.col("mo"), F.col("md"), F.col("mh")
     five = F.col("o_orderkey") % 8 == 5
     return parsed.select(
         "o_orderkey",
@@ -2322,7 +2340,15 @@ def q_wkt_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(five, F.size(sh["xs"])).alias("hull_nv"),
         F.when(five, sb["kind"].cast("int")).alias("b0_kind"),
         F.when(five, F.size(sb["xs"])).alias("b0_nv"),
-        F.when(five, F.size(sb["ring_offsets"]) - 1).alias("b0_nrings"))
+        F.when(five, F.size(sb["ring_offsets"]) - 1).alias("b0_nrings"),
+        F.when(five, mo["error"].isNull()).alias("mo_ok"),
+        F.when(five, mo["kind"].cast("int")).alias("mo_kind"),
+        F.when(five, F.size(mo["xs"])).alias("mo_nv"),
+        F.when(five, F.round(mo["maxx"], 6)).alias("mo_maxx"),
+        F.when(five, md["error"].isNull()).alias("md_ok"),
+        F.when(five, mh["error"].isNull()).alias("mh_ok"),
+        F.when(five, mh["kind"].cast("int")).alias("mh_kind"),
+        F.when(five, F.size(mh["xs"])).alias("mh_nv"))
 
 
 # constants for case 5 derive from the fixed bow-tie: hull = 5-vertex
@@ -2338,7 +2364,15 @@ SELECT o_orderkey,
        CASE WHEN o_orderkey % 8 = 5 THEN 6 END AS hull_nv,
        CASE WHEN o_orderkey % 8 = 5 THEN 8 END AS b0_kind,
        CASE WHEN o_orderkey % 8 = 5 THEN 12 END AS b0_nv,
-       CASE WHEN o_orderkey % 8 = 5 THEN 3 END AS b0_nrings
+       CASE WHEN o_orderkey % 8 = 5 THEN 3 END AS b0_nrings,
+       CASE WHEN o_orderkey % 8 = 5 THEN true END AS mo_ok,
+       CASE WHEN o_orderkey % 8 = 5 THEN 8 END AS mo_kind,
+       CASE WHEN o_orderkey % 8 = 5 THEN 9 END AS mo_nv,
+       CASE WHEN o_orderkey % 8 = 5 THEN CAST(15.0 AS DOUBLE) END AS mo_maxx,
+       CASE WHEN o_orderkey % 8 = 5 THEN false END AS md_ok,
+       CASE WHEN o_orderkey % 8 = 5 THEN true END AS mh_ok,
+       CASE WHEN o_orderkey % 8 = 5 THEN 8 END AS mh_kind,
+       CASE WHEN o_orderkey % 8 = 5 THEN 7 END AS mh_nv
 FROM orders
 """
 
