@@ -104,10 +104,13 @@ def rings_properly_overlap(ax, ay, bx, by):
     bx, by = _open_ccw(bx, by)
     crossings, point_touch, line_touch = _edge_crossings(ax, ay, bx, by)
     degen = point_touch or line_touch
-    # two simple closed curves cross transversally an EVEN number of
-    # times; a lone crossing is float noise (dateline page cuts produce
-    # ~1e-7-degree slivers along ±180), not interior overlap
-    if len(crossings) >= 2:
+    # ANY surviving proper crossing means interior overlap: the
+    # endpoint-epsilon filter inside _edge_crossings already removed
+    # the near-tangent slivers dateline page cuts leave along ±180
+    # (verified 0 survivors across the fiji/russia corpora), and an
+    # odd count simply means the boundary pair closes through shared
+    # segments (the reference's TestParseMultiPolygon fixture).
+    if crossings:
         return True, degen
     from .pip import _ring_parity_and_boundary
     in_a, bnd_a = _ring_parity_and_boundary(ax, ay, bx, by)
@@ -156,8 +159,8 @@ def member_relation(rings_a, rings_b):
     kind: 'none' (interiors disjoint; boundary touching allowed),
     'cross' (boundaries cross transversally), 'a_contains_b' /
     'b_contains_a' (one member's interior swallows the other).
-    Crossings use the even-count and endpoint-epsilon guards against
-    dateline-cut float slivers; containment is MEMBER-level even-odd
+    Crossings use the endpoint-epsilon guard against dateline-cut
+    float slivers; containment is MEMBER-level even-odd
     parity over ALL the other member's rings (so a member nested in
     another member's HOLE — parity 2 — does not flag), and a vertex
     must sit deeper than _BOUNDARY_EPS inside to count."""
@@ -170,7 +173,7 @@ def member_relation(rings_a, rings_b):
         for bx, by in opened_b:
             crossings, pt, lt = _edge_crossings(ax, ay, bx, by)
             degen |= pt or lt
-            if len(crossings) >= 2:
+            if crossings:
                 return "cross", degen
 
     def contained(mine, other):

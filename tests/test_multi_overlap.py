@@ -147,3 +147,21 @@ def test_st_from_wkt_allow_multi_overlap(spark):
             SF.st_from_wkt(F.col("wkt")),
             F.col("px"), F.col("py")).alias("rel")).first()
     assert rel["rel"] == 2  # CONTAINS via the default exact union
+
+
+def test_reference_parse_multipolygon_fixture():
+    """NtsWktShapeParserTest.TestParseMultiPolygon's members overlap
+    WITH degenerate contact (shared edges + a proper crossing). The
+    reference accepts it because its MULTIPOLYGON is a ShapeCollection
+    of separately-validated members; this engine's even-odd form needs
+    a union, which the degenerate contact makes infeasible exactly —
+    documented divergence: default errors (clear message), and
+    allowMultiOverlap=true takes the hull-union superset."""
+    wkt = ("MULTIPOLYGON("
+           "((100 0, 101 0, 101 2, 100 1, 100 0)),"
+           "((100 0, 102 0, 102 2, 100 1, 100 0)))")
+    with pytest.raises(WktParseError, match="allowMultiOverlap"):
+        parse_shape(wkt)
+    rec = parse_shape(wkt, allow_multi_overlap=True)
+    # hull covers both members' interiors (fold semantics superset)
+    assert _pip(rec, [100.5, 101.5], [0.5, 0.5]).tolist() == [True, True]
