@@ -166,3 +166,35 @@ def test_erode_exact_half_width_collapses():
     from spatial4n_spark.kernels.buffer import _erode_convex_ring
     assert _erode_convex_ring(np.array([4.0, 6.0, 6.0, 4.0]),
                               np.array([4.0, 4.0, 6.0, 6.0]), 1.0) is None
+
+
+def test_buffered_polygon_join_end_to_end(spark):
+    """The use case that motivated polygon GetBuffered (r3 verdict):
+    'points within d of this polygon' = buffer the layer, then the
+    ordinary point-in-shape join — no circle/bbox approximation."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import functions as SF
+    from spatial4n_spark.operators.joins import point_in_shape_join
+    from spatial4n_spark.plans.strategy import JoinPlan
+
+    shapes = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 20 0, 10 16, 0 0))", 2.0)],
+        ["sid", "wkt", "d"]).withColumn("s", SF.st_from_wkt(F.col("wkt")))
+    s = F.col("s")
+    buffered = shapes.select(
+        "sid",
+        SF.st_buffer(s["kind"], s["x"], s["y"], s["radius"], s["minx"],
+                     s["maxx"], s["miny"], s["maxy"], s["xs"], s["ys"],
+                     s["ring_offsets"], F.col("d")).alias("shape"))
+    # probes: inside original; within the 2-deg band (below the bottom
+    # edge); outside the band; near a vertex inside 0.99d
+    pts = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, 10.0, -1.9), (3, 10.0, -2.1),
+         (4, 21.40, -1.40)],  # ~1.98 from vertex (20,0), in its cone
+        ["pid", "x", "y"])
+    plan = JoinPlan(precision=2, broadcast_shapes=True, salt=None,
+                    max_cover_cells=4096)
+    got = sorted(r["pid"] for r in point_in_shape_join(
+        pts, buffered, plan, shape_id="sid").select("pid").collect())
+    assert got == [1, 2, 4], got
