@@ -340,14 +340,22 @@ def union_many(rings):
     """Union a list of simple rings [(xs, ys), ...] by pairwise
     Greiner–Hormann passes until no two PRIMARY rings overlap.
 
-    Pocket-hole rings produced by a pairwise union join the output
-    passively (even-odd), documented limitation: a later ring that
-    overlaps a pocket hole is not re-clipped against it. Returns None
-    on degenerate contact anywhere."""
+    Worklist to fixpoint: when an incoming ring merges with a primary,
+    the merged primary goes BACK on the worklist so it re-tests against
+    every remaining primary — a bridge ring spanning two previously
+    disjoint members must union with both, or the survivors' overlap
+    would XOR into a phantom even-odd hole. Each merge reduces the
+    primary count by one, so the loop terminates. Pocket-hole rings
+    produced by a pairwise union join the output passively (even-odd),
+    documented limitation: a later ring that overlaps a pocket hole is
+    not re-clipped against it. Returns None on degenerate contact
+    anywhere."""
     out: list = []
-    for rx, ry in rings:
-        rx = np.asarray(rx, dtype=np.float64)
-        ry = np.asarray(ry, dtype=np.float64)
+    holes: list = []
+    work = [(np.asarray(rx, dtype=np.float64),
+             np.asarray(ry, dtype=np.float64)) for rx, ry in rings]
+    while work:
+        rx, ry = work.pop(0)
         merged = False
         for k in range(len(out)):
             ox, oy = out[k]
@@ -358,13 +366,14 @@ def union_many(rings):
                 u = union_rings(rx, ry, ox, oy)
                 if u is None:
                     return None
-                # largest-area ring is the new primary at slot k;
-                # extras (holes or the disjoint pair) append passively
+                # largest-area ring is the merged primary -> re-queue;
+                # extras are pocket holes and join passively
                 u.sort(key=lambda r: -abs(_signed_area2(r[0], r[1])))
-                out[k] = u[0]
-                out.extend(u[1:])
+                del out[k]
+                holes.extend(u[1:])
+                work.append(u[0])
                 merged = True
                 break
         if not merged:
             out.append((rx, ry))
-    return out
+    return out + holes

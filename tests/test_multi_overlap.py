@@ -165,3 +165,21 @@ def test_reference_parse_multipolygon_fixture():
     rec = parse_shape(wkt, allow_multi_overlap=True)
     # hull covers both members' interiors (fold semantics superset)
     assert _pip(rec, [100.5, 101.5], [0.5, 0.5]).tolist() == [True, True]
+
+
+def test_bridge_member_unions_transitively():
+    """A bridge member crossing two previously-disjoint members must
+    union with BOTH: union_many re-queues a merged primary until no
+    two primaries overlap (a single pass left the merged A+C ring
+    overlapping B, which even-odd XORed into a phantom hole over
+    B∩bridge)."""
+    wkt = ("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),"
+           "((2 0,3 0,3 1,2 1,2 0)),"
+           "((0.5 0.25,2.5 0.25,2.5 0.75,0.5 0.75,0.5 0.25)))")
+    rec = parse_shape(wkt, geo=False)
+    ro = np.asarray(rec["ring_offsets"])
+    assert len(ro) - 1 == 1  # one fused outer ring, no phantom holes
+    # (2.25,.5) sat in B∩bridge — the phantom-hole point before the fix
+    assert _pip(rec, [2.25, 1.5, 0.5, 1.5, 2.25, 3.5],
+                [0.5, 0.5, 0.9, 0.9, 0.9, 0.5]).tolist() == \
+        [True, True, True, False, True, False]
