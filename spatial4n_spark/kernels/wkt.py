@@ -587,6 +587,30 @@ def _rings_to_closed(rx, ry):
             + [(float(rx[0]), float(ry[0]))])
 
 
+def _canonical_member_key(rings):
+    """Geometry-identity key for a member: each ring opened, rotated to
+    its lexicographically-smallest vertex, orientation-normalized (the
+    smaller of forward/reverse tuple), rings sorted. Duplicate members
+    (same geometry, any starting vertex / winding / ring order) share a
+    key; the pairwise relate can't see them (every vertex lies ON the
+    other's boundary) and even-odd would XOR them to nothing."""
+    out = []
+    for xs, ys in rings:
+        if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            xs, ys = xs[:-1], ys[:-1]
+        pts = list(zip(xs.tolist(), ys.tolist()))
+        if not pts:
+            out.append(())
+            continue
+        k = pts.index(min(pts))
+        fwd = tuple(pts[k:] + pts[:k])
+        rev_pts = pts[::-1]
+        k2 = rev_pts.index(min(rev_pts))
+        rev = tuple(rev_pts[k2:] + rev_pts[:k2])
+        out.append(min(fwd, rev))
+    return tuple(sorted(out))
+
+
 def _resolve_multi_overlap(members, geo, dateline_rule, validation_rule,
                            allow_multi_overlap) -> dict:
     """MULTIPOLYGON assembly with the reference's COLLECTION-fold
@@ -619,6 +643,16 @@ def _resolve_multi_overlap(members, geo, dateline_rule, validation_rule,
     dropped = [False] * n
     crossing = [False] * n
     any_cross = degen = False
+    # duplicate members first (union of a member with itself is the
+    # member): the pairwise relate below can't detect them, and the
+    # even-odd merge would XOR them away entirely
+    seen_keys: dict = {}
+    for i in range(n):
+        key = _canonical_member_key(rings_per[i])
+        if key in seen_keys:
+            dropped[i] = True
+        else:
+            seen_keys[key] = i
     for i in range(n):
         if dropped[i]:
             continue

@@ -183,3 +183,27 @@ def test_bridge_member_unions_transitively():
     assert _pip(rec, [2.25, 1.5, 0.5, 1.5, 2.25, 3.5],
                 [0.5, 0.5, 0.9, 0.9, 0.9, 0.5]).tolist() == \
         [True, True, True, False, True, False]
+
+
+def test_duplicate_members_fold_to_one():
+    """Collection-fold identity: union of a member with itself is the
+    member. Bit-identical (or rotated / rewound) duplicate members are
+    invisible to the pairwise relate (every vertex lies ON the other's
+    boundary) and even-odd XORed the region away entirely; the
+    canonical-key dedupe drops them at parse time."""
+    dup = "MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0)),((0 0,10 0,10 10,0 10,0 0)))"
+    rec = parse_shape(dup)
+    assert len(rec["ring_offsets"]) - 1 == 1
+    assert _pip(rec, [5], [5]).tolist() == [True]
+    # rotated start + reversed winding is the same geometry
+    rot = ("MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0)),"
+           "((10 10,10 0,0 0,0 10,10 10)))")
+    rec2 = parse_shape(rot)
+    assert len(rec2["ring_offsets"]) - 1 == 1
+    assert _pip(rec2, [5], [5]).tolist() == [True]
+    # holed member duplicated: shell+hole survive once, hole still a hole
+    holed = ("MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4)),"
+             "((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4)))")
+    rec3 = parse_shape(holed)
+    assert len(rec3["ring_offsets"]) - 1 == 2
+    assert _pip(rec3, [2, 5], [2, 5]).tolist() == [True, False]
