@@ -901,7 +901,10 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the small zone layer ONCE: its WKT-parse lineage is
     # otherwise re-executed by each consumer (closure-table collect,
     # slim-bbox broadcast, cover-code broadcast) — three Python stages
-    # re-parsing the same layer dominated the r3 suite time
+    # re-parsing the same layer dominated the r3 suite time. (A
+    # collect+createDataFrame LocalRelation variant was A/B-measured
+    # interleaved and lost to the checkpoint — driver-side Row
+    # conversion costs more than the block-manager fetches it saves.)
     zones = rects.unionByName(polys).localCheckpoint()
     return zonal_stats_tagged(pixels, zones)
 

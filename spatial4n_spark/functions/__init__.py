@@ -470,6 +470,60 @@ def _axis_idx_col(coord, lo: float, span: float, bits: int):
     return F.least(F.lit(n - 1), F.greatest(F.lit(0), i0 + corr))
 
 
+def _dbl_lit(v: float) -> str:
+    """Exact SQL double literal (D suffix keeps the parser off DECIMAL)."""
+    return f"{v!r}D"
+
+
+def _spread_bits32_sql(v: str) -> str:
+    """SQL-string twin of _spread_bits32 — same five mask steps.
+
+    Textual duplication of the input mirrors the Column version's
+    effective tree (Column reuse shares objects but codegen walks the
+    tree the same number of times), so the generated code is identical;
+    only the DRIVER-side construction cost differs: one string format +
+    one F.expr parse instead of ~60 py4j roundtrips per cell code.
+    """
+    for shift, mask in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                        (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                        (1, 0x5555555555555555)):
+        v = f"(({v} | shiftleft({v}, {shift})) & {mask}L)"
+    return v
+
+
+def _axis_idx_sql(coord: str, lo: float, span: float, bits: int) -> str:
+    """SQL-string twin of _axis_idx_col (same closed form + boundary
+    correction; see that docstring for the exactness argument)."""
+    n = 1 << bits
+    step = span / n
+    i0 = (f"(CAST(ceil((({coord}) + {_dbl_lit(-lo)}) / {_dbl_lit(span)}"
+          f" * {_dbl_lit(float(n))}) AS BIGINT) - 1)")
+    i0 = f"least({n - 1}L, greatest(0L, {i0}))"
+    b_lo = f"({_dbl_lit(lo)} + (CAST({i0} AS DOUBLE) * {_dbl_lit(step)}))"
+    b_hi = f"({_dbl_lit(lo)} + (CAST(({i0} + 1) AS DOUBLE) * {_dbl_lit(step)}))"
+    corr = (f"(CASE WHEN ({coord}) > {b_hi} THEN 1"
+            f" WHEN ({coord}) <= {b_lo} THEN -1 ELSE 0 END)")
+    return f"least({n - 1}L, greatest(0L, {i0} + {corr}))"
+
+
+def _morton_sql(li: str, ti: str, precision: int) -> str:
+    nbits = precision * 5
+    sl = _spread_bits32_sql(f"CAST({li} AS BIGINT)")
+    st = _spread_bits32_sql(f"CAST({ti} AS BIGINT)")
+    if nbits % 2 == 1:
+        return f"CAST(({sl} | shiftleft({st}, 1)) AS BIGINT)"
+    return f"CAST(({st} | shiftleft({sl}, 1)) AS BIGINT)"
+
+
+def _axis_sql_params(axis: str, precision: int) -> tuple:
+    nbits = precision * 5
+    if axis == "lon":
+        return -180.0, 360.0, (nbits + 1) // 2
+    if axis == "lat":
+        return -90.0, 180.0, nbits // 2
+    raise ValueError(axis)
+
+
 def st_axis_idx_col(coord, axis: str, precision: int):
     """Exact per-axis grid index ('lon' or 'lat') at a geohash precision.
 
@@ -479,19 +533,25 @@ def st_axis_idx_col(coord, axis: str, precision: int):
     `_spread_bits32`'s five v->f(v,v) steps duplicate their input tree
     2^5 times — a large coord expression inside a filter-context cell
     code blows the 64 KB Janino method limit (VERDICT r02 item 2).
+
+    `coord` may be a Column or a SQL fragment string; the string form
+    builds the whole expression with ONE F.expr parse (the Column form
+    costs hundreds of py4j roundtrips per call — measured ~0.5 s of
+    driver time per cell-code call site, pure plan-construction).
     """
-    nbits = precision * 5
-    if axis == "lon":
-        return _axis_idx_col(coord, -180.0, 360.0, (nbits + 1) // 2)
-    if axis == "lat":
-        return _axis_idx_col(coord, -90.0, 180.0, nbits // 2)
-    raise ValueError(axis)
+    lo, span, bits = _axis_sql_params(axis, precision)
+    if isinstance(coord, str):
+        return F.expr(_axis_idx_sql(coord, lo, span, bits))
+    return _axis_idx_col(coord, lo, span, bits)
 
 
 def st_morton_col(li, ti, precision: int):
     """Interleave precomputed (lon_idx, lat_idx) columns into the int64
     cell code. li/ti should be plain column references (see
-    st_axis_idx_col) when used inside a filter condition."""
+    st_axis_idx_col) when used inside a filter condition. String
+    arguments are SQL fragments (single-parse fast path)."""
+    if isinstance(li, str) and isinstance(ti, str):
+        return F.expr(_morton_sql(li, ti, precision))
     nbits = precision * 5
     sl = _spread_bits32(li.cast("long"))
     st = _spread_bits32(ti.cast("long"))
@@ -501,6 +561,14 @@ def st_morton_col(li, ti, precision: int):
     return st.bitwiseOR(F.shiftleft(sl, 1)).cast("long")
 
 
+def _cell_code_sql(lat: str, lon: str, precision: int) -> str:
+    lon_lo, lon_span, lon_bits = _axis_sql_params("lon", precision)
+    lat_lo, lat_span, lat_bits = _axis_sql_params("lat", precision)
+    return _morton_sql(_axis_idx_sql(lon, lon_lo, lon_span, lon_bits),
+                       _axis_idx_sql(lat, lat_lo, lat_span, lat_bits),
+                       precision)
+
+
 def st_cell_code_col(lat, lon, precision: int):
     """Int64 geohash cell code as a PURE Column expression (no UDF).
 
@@ -508,9 +576,35 @@ def st_cell_code_col(lat, lon, precision: int):
     bits, lat floor(5p/2), interleaved lon-first from the MSB. Keeps
     the entire point side of the spatial join in whole-stage codegen —
     zero Arrow exchanges for cell assignment.
+
+    lat/lon may be Columns or SQL fragment strings; pass strings where
+    possible — the string path is one F.expr parse instead of ~150
+    py4j roundtrips (~0.5 s of driver time per call site).
     """
+    if isinstance(lat, str) and isinstance(lon, str):
+        return F.expr(_cell_code_sql(lat, lon, precision))
     return st_morton_col(st_axis_idx_col(lon, "lon", precision),
                          st_axis_idx_col(lat, "lat", precision), precision)
+
+
+def _cover_codes_sql(minx: str, maxx: str, miny: str, maxy: str,
+                     precision: int) -> str:
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_n = 1 << lon_bits
+    li0 = _axis_idx_sql(minx, -180.0, 360.0, lon_bits)
+    li1 = _axis_idx_sql(maxx, -180.0, 360.0, lon_bits)
+    ti0 = _axis_idx_sql(miny, -90.0, 180.0, lat_bits)
+    ti1 = _axis_idx_sql(maxy, -90.0, 180.0, lat_bits)
+    lon_seq = (f"(CASE WHEN ({minx}) <= ({maxx}) THEN sequence({li0}, {li1})"
+               f" ELSE concat(sequence({li0}, {lon_n - 1}L),"
+               f" sequence(0L, {li1})) END)")
+    # lambda var names must not collide with caller columns referenced
+    # by the ti0/ti1 fragments (they sit inside the outer lambda body)
+    return (f"flatten(transform({lon_seq},"
+            f" __s4n_li -> transform(sequence({ti0}, {ti1}),"
+            f" __s4n_ti -> {_morton_sql('__s4n_li', '__s4n_ti', precision)})))")
 
 
 def st_cover_codes_col(minx, maxx, miny, maxy, precision: int):
@@ -520,7 +614,12 @@ def st_cover_codes_col(minx, maxx, miny, maxy, precision: int):
     between the corner cells, dateline-aware lon wrap), built with
     sequence/transform/flatten + the Morton spread — no Python on the
     shape side of the join either.
+
+    String arguments are SQL fragments (single-parse fast path); all
+    four must then be strings.
     """
+    if all(isinstance(c, str) for c in (minx, maxx, miny, maxy)):
+        return F.expr(_cover_codes_sql(minx, maxx, miny, maxy, precision))
     nbits = precision * 5
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2

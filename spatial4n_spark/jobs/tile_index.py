@@ -37,7 +37,7 @@ def make_tile_index_transform(n_buckets: int, precision: int = 6):
             F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"))
         cell = F.when(
             F.col("kind") == 1,
-            SF.st_cell_code_col(F.col("y"), F.col("x"), precision))
+            SF.st_cell_code_col("`y`", "`x`", precision))
         out = pts.withColumn("cell_id", cell)
         return with_bucket(out, n_buckets)
     return tile_index

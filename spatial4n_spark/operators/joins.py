@@ -34,8 +34,10 @@ def with_point_cell(points: DataFrame, x: str = "x", y: str = "y",
     produces the reference-compatible geohash string via the kernel.
     """
     if codes:
+        # string fragments: single-F.expr construction (the Column form
+        # costs ~150 py4j roundtrips of driver time per call site)
         return points.withColumn(
-            cell_col, SF.st_cell_code_col(F.col(y), F.col(x), precision))
+            cell_col, SF.st_cell_code_col(f"`{y}`", f"`{x}`", precision))
     return points.withColumn(cell_col, SF.st_cell(F.col(y), F.col(x), precision))
 
 
@@ -52,8 +54,9 @@ def with_shape_cover(shapes: DataFrame, shape_col: str = "shape",
     """
     s = F.col(shape_col)
     if codes:
-        cells = SF.st_cover_codes_col(s["minx"], s["maxx"],
-                                      s["miny"], s["maxy"], precision)
+        cells = SF.st_cover_codes_col(
+            f"`{shape_col}`.`minx`", f"`{shape_col}`.`maxx`",
+            f"`{shape_col}`.`miny`", f"`{shape_col}`.`maxy`", precision)
     else:
         cells = SF.st_cover_cells(s["minx"], s["maxx"],
                                   s["miny"], s["maxy"], precision)
@@ -183,8 +186,8 @@ def _point_in_shape_join_closure(points: DataFrame, shapes: DataFrame,
                  [f"__{t}{k}" for k in range(k_max) for t in ("a", "b", "c")]
         slim = spark.createDataFrame(rows, cnames)
         cover = (slim.withColumn("cover_cell", F.explode_outer(
-                     SF.st_cover_codes_col(F.col("__minx"), F.col("__maxx"),
-                                           F.col("__miny"), F.col("__maxy"),
+                     SF.st_cover_codes_col("`__minx`", "`__maxx`",
+                                           "`__miny`", "`__maxy`",
                                            plan.precision)))
                      .where(F.col("cover_cell").isNotNull()))
         pts = with_point_cell(points, point_x, point_y, plan.precision,
@@ -206,8 +209,8 @@ def _point_in_shape_join_closure(points: DataFrame, shapes: DataFrame,
     refine_udf = make_closure_refine(table)
     slim = _slim_bbox(shapes, shape_col, shape_id)
     cover = (slim.withColumn("cover_cell", F.explode_outer(
-                 SF.st_cover_codes_col(F.col("__minx"), F.col("__maxx"),
-                                       F.col("__miny"), F.col("__maxy"),
+                 SF.st_cover_codes_col("`__minx`", "`__maxx`",
+                                       "`__miny`", "`__maxy`",
                                        plan.precision)))
                  .where(F.col("cover_cell").isNotNull()))
     pts = with_point_cell(points, point_x, point_y, plan.precision, codes=True)
@@ -565,14 +568,14 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     # cost seconds of Janino compile per plan; the vectorized kernel is
     # ~30x faster per shape and keeps the codegen stage small. Both
     # produce the same cell set from the same exact axis indexing.
-    lc = (left.withColumn("__lli0", SF.st_axis_idx_col(ls["minx"], "lon", precision))
-              .withColumn("__lti0", SF.st_axis_idx_col(ls["miny"], "lat", precision))
+    lc = (left.withColumn("__lli0", SF.st_axis_idx_col(f"`{left_shape}`.`minx`", "lon", precision))
+              .withColumn("__lti0", SF.st_axis_idx_col(f"`{left_shape}`.`miny`", "lat", precision))
               .withColumn("__cells", SF.st_cover_codes(
                   ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
               .withColumn("__cell", F.explode_outer("__cells")).drop("__cells")
               .where(F.col("__cell").isNotNull()))
-    rc = (right.withColumn("__rli0", SF.st_axis_idx_col(rs["minx"], "lon", precision))
-               .withColumn("__rti0", SF.st_axis_idx_col(rs["miny"], "lat", precision))
+    rc = (right.withColumn("__rli0", SF.st_axis_idx_col(f"`{right_shape}`.`minx`", "lon", precision))
+               .withColumn("__rti0", SF.st_axis_idx_col(f"`{right_shape}`.`miny`", "lat", precision))
                .withColumn("__cells", SF.st_cover_codes(
                    rs["minx"], rs["maxx"], rs["miny"], rs["maxy"], precision))
                .withColumn("__cell", F.explode_outer("__cells")).drop("__cells")
@@ -595,8 +598,8 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     # bboxes, rebuilt from the precomputed per-side axis indices.
     bbox_ok = ((ls["minx"] <= rs["maxx"]) & (ls["maxx"] >= rs["minx"])
                & (ls["miny"] <= rs["maxy"]) & (ls["maxy"] >= rs["miny"]))
-    ref_cell = SF.st_morton_col(F.greatest(F.col("__lli0"), F.col("__rli0")),
-                                F.greatest(F.col("__lti0"), F.col("__rti0")),
+    ref_cell = SF.st_morton_col("greatest(`__lli0`, `__rli0`)",
+                                "greatest(`__lti0`, `__rti0`)",
                                 precision)
     gated = (j.where(bbox_ok & (F.col("__cell") == ref_cell))
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0"))
@@ -620,8 +623,8 @@ def _shape_shape_join_closure(left: DataFrame, right: DataFrame,
     relate_udf = make_closure_shape_relate(table)
 
     ls, rs = F.col(left_shape), F.col(right_shape)
-    lc = (left.withColumn("__lli0", SF.st_axis_idx_col(ls["minx"], "lon", precision))
-              .withColumn("__lti0", SF.st_axis_idx_col(ls["miny"], "lat", precision))
+    lc = (left.withColumn("__lli0", SF.st_axis_idx_col(f"`{left_shape}`.`minx`", "lon", precision))
+              .withColumn("__lti0", SF.st_axis_idx_col(f"`{left_shape}`.`miny`", "lat", precision))
               .withColumn("__cells", SF.st_cover_codes(
                   ls["minx"], ls["maxx"], ls["miny"], ls["maxy"], precision))
               .withColumn("__cell", F.explode_outer("__cells")).drop("__cells")
@@ -630,8 +633,8 @@ def _shape_shape_join_closure(left: DataFrame, right: DataFrame,
         right_id,
         rs["minx"].alias("__rminx"), rs["maxx"].alias("__rmaxx"),
         rs["miny"].alias("__rminy"), rs["maxy"].alias("__rmaxy"))
-    rc = (slim.withColumn("__rli0", SF.st_axis_idx_col(F.col("__rminx"), "lon", precision))
-              .withColumn("__rti0", SF.st_axis_idx_col(F.col("__rminy"), "lat", precision))
+    rc = (slim.withColumn("__rli0", SF.st_axis_idx_col("`__rminx`", "lon", precision))
+              .withColumn("__rti0", SF.st_axis_idx_col("`__rminy`", "lat", precision))
               .withColumn("__cells", SF.st_cover_codes(
                   F.col("__rminx"), F.col("__rmaxx"),
                   F.col("__rminy"), F.col("__rmaxy"), precision))
@@ -641,8 +644,8 @@ def _shape_shape_join_closure(left: DataFrame, right: DataFrame,
 
     bbox_ok = ((ls["minx"] <= F.col("__rmaxx")) & (ls["maxx"] >= F.col("__rminx"))
                & (ls["miny"] <= F.col("__rmaxy")) & (ls["maxy"] >= F.col("__rminy")))
-    ref_cell = SF.st_morton_col(F.greatest(F.col("__lli0"), F.col("__rli0")),
-                                F.greatest(F.col("__lti0"), F.col("__rti0")),
+    ref_cell = SF.st_morton_col("greatest(`__lli0`, `__rli0`)",
+                                "greatest(`__lti0`, `__rti0`)",
                                 precision)
     gated = (j.where(bbox_ok & (F.col("__cell") == ref_cell))
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0",

@@ -100,7 +100,7 @@ def zonal_stats(pixels: DataFrame, zones: DataFrame,
     """
     from .. import functions as SF
     px = pixels.withColumn(
-        "__cell", SF.st_cell_code_col(F.col("px_lat"), F.col("px_lon"), precision))
+        "__cell", SF.st_cell_code_col("`px_lat`", "`px_lon`", precision))
     zc = (zones
           .withColumn("__cells", SF.st_cover_codes(
               F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"), precision))

@@ -62,5 +62,5 @@ def prepare_points_bucketed(spark: SparkSession, points: DataFrame,
     point table bucketed by cell — the write-once side of the amortized
     join."""
     pts = points.withColumn(
-        "cell_id", SF.st_cell_code_col(F.col(y), F.col(x), precision))
+        "cell_id", SF.st_cell_code_col(f"`{y}`", f"`{x}`", precision))
     write_bucketed_by_cell(pts, table, n_buckets)

@@ -42,7 +42,7 @@ def write_zordered(points: DataFrame, path: str, precision: int = 6,
     for every later bbox query. Parquet footer stats do the rest.
     """
     coded = points.withColumn(
-        CELL_COL, SF.st_cell_code_col(F.col(y), F.col(x), precision))
+        CELL_COL, SF.st_cell_code_col(f"`{y}`", f"`{x}`", precision))
     (coded.repartitionByRange(n_files, F.col(CELL_COL))
           .sortWithinPartitions(CELL_COL)
           .write.mode("overwrite").parquet(path))

@@ -9,8 +9,11 @@ from spatial4n_spark import functions as SF
 from spatial4n_spark.kernels.geohash import cell_code
 
 
+@pytest.mark.parametrize("mode", ["column", "sqlstr"])
 @pytest.mark.parametrize("precision", [1, 2, 4, 5, 6, 7, 9, 12])
-def test_cell_code_col_bit_identical(spark, precision):
+def test_cell_code_col_bit_identical(spark, precision, mode):
+    """Both construction modes — Column-API tree and the single-parse
+    SQL-string fast path — must be bit-identical to the kernel."""
     rng = np.random.default_rng(42)
     lon = np.concatenate([rng.uniform(-180, 180, 5000),
                           [-180.0, 180.0, 0.0, 11.25, -11.25, 90.0, -90.0,
@@ -19,12 +22,49 @@ def test_cell_code_col_bit_identical(spark, precision):
                           [-90.0, 90.0, 0.0, 45.0, -45.0, 22.5, -22.5,
                            89.999999, -89.999999]])
     df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    args = (("`lat`", "`lon`") if mode == "sqlstr"
+            else (F.col("lat"), F.col("lon")))
     got = np.array(
-        df.select(SF.st_cell_code_col(F.col("lat"), F.col("lon"),
-                                      precision).alias("c"))
+        df.select(SF.st_cell_code_col(*args, precision).alias("c"))
           .toPandas()["c"], dtype=np.int64)
     want = cell_code(lat, lon, precision)
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("precision", [1, 2, 4, 6, 7])
+def test_cover_codes_col_sqlstr_identical(spark, precision):
+    """String-fragment cover builder == Column-API cover builder on
+    random and dateline-crossing bboxes (same cell set, same order)."""
+    rng = np.random.default_rng(7)
+    m = 500
+    span = min(30.0, 4000.0 / (1 << ((precision * 5 + 1) // 2)))
+    minx = rng.uniform(-180, 180, m)
+    maxx = minx + rng.uniform(0, span, m)
+    maxx = np.where(maxx > 180, maxx - 360, maxx)   # ~some cross +-180
+    miny = rng.uniform(-90, 89, m)
+    maxy = np.minimum(90, miny + rng.uniform(0, span, m))
+    df = spark.createDataFrame(pd.DataFrame(
+        {"minx": minx, "maxx": maxx, "miny": miny, "maxy": maxy}))
+    a = df.select(SF.st_cover_codes_col(
+        F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"),
+        precision).alias("c")).toPandas()["c"]
+    b = df.select(SF.st_cover_codes_col(
+        "`minx`", "`maxx`", "`miny`", "`maxy`",
+        precision).alias("c")).toPandas()["c"]
+    assert all(list(x) == list(y) for x, y in zip(a, b))
+
+
+def test_cover_codes_sqlstr_lambda_shadowing(spark):
+    """Columns literally named li/ti must not be captured by the cover
+    HOF lambda variables (regression for the string-path lambda names)."""
+    df = spark.createDataFrame(pd.DataFrame(
+        {"li": [10.0], "ti": [20.0], "maxx": [11.0], "maxy": [21.0]}))
+    a = df.select(SF.st_cover_codes_col(
+        F.col("li"), F.col("maxx"), F.col("ti"), F.col("maxy"), 3).alias("c")
+    ).toPandas()["c"]
+    b = df.select(SF.st_cover_codes_col(
+        "`li`", "`maxx`", "`ti`", "`maxy`", 3).alias("c")).toPandas()["c"]
+    assert list(a[0]) == list(b[0])
 
 
 def test_cell_code_col_no_python_in_plan(spark):
