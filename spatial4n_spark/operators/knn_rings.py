@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import functions as SF
-from ..functions import _axis_idx_col, _spread_bits32
 from ..kernels.geohash import (HASH_LEN_TO_LAT_HEIGHT, HASH_LEN_TO_LON_WIDTH)
 
 
@@ -46,18 +45,18 @@ def _window_cells(queries: DataFrame, qx: str, qy: str, precision: int,
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
     lon_n, lat_n = 1 << lon_bits, 1 << lat_bits
-    li = _axis_idx_col(F.col(qx), -180.0, 360.0, lon_bits)
-    ti = _axis_idx_col(F.col(qy), -90.0, 180.0, lat_bits)
+    # SQL-fragment construction: the ring loop rebuilds this expression
+    # every round, so the Column-tree form paid its ~0.3s of py4j
+    # roundtrips per round (see functions.st_cell_code_col)
+    li = SF.st_axis_idx_col(f"`{qx}`", "lon", precision)
+    ti = SF.st_axis_idx_col(f"`{qy}`", "lat", precision)
     q = (queries.withColumn("__li", li).withColumn("__ti", ti)
          .withColumn("__dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
          .withColumn("__dy", F.explode(F.sequence(F.lit(-r), F.lit(r)))))
-    wli = F.pmod(F.col("__li") + F.col("__dx"), F.lit(lon_n)).cast("long")
-    wti = F.least(F.lit(lat_n - 1),
-                  F.greatest(F.lit(0), F.col("__ti") + F.col("__dy"))).cast("long")
-    sl = _spread_bits32(wli)
-    st = _spread_bits32(wti)
-    code = (sl.bitwiseOR(F.shiftleft(st, 1)) if nbits % 2 == 1
-            else st.bitwiseOR(F.shiftleft(sl, 1)))
+    wli = f"CAST(pmod(`__li` + `__dx`, {lon_n}L) AS BIGINT)"
+    wti = (f"CAST(least({lat_n - 1}L,"
+           f" greatest(0L, `__ti` + `__dy`)) AS BIGINT)")
+    code = SF.st_morton_col(wli, wti, precision)
     # lat clamping collides rows at the poles -> dedupe per query
     return (q.withColumn("cell_id", code.cast("long"))
              .drop("__li", "__ti", "__dx", "__dy")
