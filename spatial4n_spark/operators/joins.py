@@ -339,7 +339,7 @@ def point_in_shape_join_adaptive(points: DataFrame, shapes: DataFrame,
         if not levels:
             levels = [min_level]
     pts = (points.withColumn("__mlcells", SF.st_cell_codes_for_levels_col(
-               F.col(point_y), F.col(point_x), levels))
+               f"`{point_y}`", f"`{point_x}`", levels))
                  .withColumn("cell_id", F.explode_outer("__mlcells"))
                  .drop("__mlcells"))
     if broadcast_shapes:
