@@ -750,11 +750,13 @@ def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
     max_lat_bits = (max_level * 5) // 2
 
     def side(df, bbox, li, ti, lvl):
+        # bbox elements are SQL fragments: axis-idx trees build with one
+        # F.expr parse; the pyramid UDF needs Columns, so wrap there
         mnx, mxx, mny, mxy = bbox
         return (df.withColumn(li, SF.st_axis_idx_col(mnx, "lon", max_level))
                   .withColumn(ti, SF.st_axis_idx_col(mny, "lat", max_level))
                   .withColumn("__cells", SF.st_cover_pyramid(
-                      mnx, mxx, mny, mxy,
+                      F.expr(mnx), F.expr(mxx), F.expr(mny), F.expr(mxy),
                       min_level, max_level, cells_budget))
                   .withColumn(lvl, F.element_at("__cells", 1)
                               .bitwiseAND(F.lit(mask)))
@@ -762,13 +764,14 @@ def shape_shape_join_adaptive(left: DataFrame, right: DataFrame,
                   .drop("__cells")
                   .where(F.col("__cell").isNotNull()))
 
-    lc = side(left, (ls["minx"], ls["maxx"], ls["miny"], ls["maxy"]),
+    lc = side(left, (f"`{left_shape}`.`minx`", f"`{left_shape}`.`maxx`",
+                     f"`{left_shape}`.`miny`", f"`{left_shape}`.`maxy`"),
               "__lli0", "__lti0", "__llvl")
     if closure_relate is not None:
-        r_bbox = (F.col("__rminx"), F.col("__rmaxx"),
-                  F.col("__rminy"), F.col("__rmaxy"))
+        r_bbox = ("`__rminx`", "`__rmaxx`", "`__rminy`", "`__rmaxy`")
     else:
-        r_bbox = (rs["minx"], rs["maxx"], rs["miny"], rs["maxy"])
+        r_bbox = (f"`{right_shape}`.`minx`", f"`{right_shape}`.`maxx`",
+                  f"`{right_shape}`.`miny`", f"`{right_shape}`.`maxy`")
     rc = side(right, r_bbox, "__rli0", "__rti0", "__rlvl")
     if broadcast_right:
         rc = F.broadcast(rc)
