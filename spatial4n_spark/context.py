@@ -44,6 +44,11 @@ class SpatialEngineContext:
     # :55-58,101-127)
     precision_model: str = "floating"   # floating | floating_single | fixed
     precision_scale: float | None = None
+    # wktShapeParserClass analog (NtsSpatialContextFactory.cs:63-81,
+    # NtsWKTReaderShapeParser.cs): "default" = the spatial4n grammar;
+    # "ntsReader" = the alt reader (ISO WKT only, per-vertex lon wrap
+    # + bounds verify — see kernels.wkt.parse_shape_ntsreader)
+    wkt_parser: str = "default"         # default | ntsReader
 
     # ---- factory (SpatialContextFactory.MakeSpatialContext analog) ----
     @classmethod
@@ -87,6 +92,15 @@ class SpatialEngineContext:
             if not match:
                 raise ValueError(f"Unknown validation rule: {vr}")
             ctx = replace(ctx, validation_rule=match[0])
+        wp = args.get("wktShapeParserClass")
+        if wp is not None:
+            names = {"default": "default",
+                     "ntsreader": "ntsReader",
+                     "ntswktreadershapeparser": "ntsReader"}
+            key = names.get(str(wp).lower())
+            if key is None:
+                raise ValueError(f"Unknown WKT shape parser: {wp}")
+            ctx = replace(ctx, wkt_parser=key)
         pm = args.get("precisionModel")
         ps = args.get("precisionScale")
         if ps is not None and (pm is None or str(pm) != "fixed"):
@@ -113,6 +127,16 @@ class SpatialEngineContext:
 
     # ---- WKT parse under this context's rules ----
     def parse_wkt(self, wkt: str) -> dict:
+        if self.wkt_parser == "ntsReader":
+            from .kernels.wkt import parse_shape_ntsreader
+            return parse_shape_ntsreader(
+                wkt, geo=self.geo,
+                dateline_rule=self.dateline_rule,
+                validation_rule=self.validation_rule,
+                snap=self.snap_fn(),
+                allow_multi_overlap=self.allow_multi_overlap,
+                norm_wrap_longitude=self.norm_wrap_longitude,
+                world_bounds=self.world_bounds)
         from .kernels.wkt import parse_shape
         return parse_shape(wkt, geo=self.geo,
                            dateline_rule=self.dateline_rule,

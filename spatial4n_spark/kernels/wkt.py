@@ -128,6 +128,10 @@ class _State:
         self.text = text
         self.pos = 0
         self.snap = snap
+        # alt-reader hooks (parse_shape_ntsreader): per-point coordinate
+        # transform/verify, and ISO-grammar-only keyword gating
+        self.xy_hook = None
+        self.iso_only = False
 
     def peek(self) -> Optional[str]:
         m = _TOKEN.match(self.text, self.pos)
@@ -751,6 +755,8 @@ def _point_xy(st: _State) -> tuple:
         except ValueError:
             raise WktParseError(f"unexpected token {tok!r}")
         st.next()
+    if st.xy_hook is not None:
+        return st.xy_hook(x, y)
     return (x, y)
 
 
@@ -818,10 +824,69 @@ def parse_shape(wkt: str, geo: bool = True,
     return shape
 
 
+def parse_shape_ntsreader(wkt: str, geo: bool = True,
+                          dateline_rule: str = "width180",
+                          validation_rule: str = "error",
+                          snap=None, allow_multi_overlap: bool = False,
+                          norm_wrap_longitude: bool = False,
+                          world_bounds: tuple = (-180.0, 180.0,
+                                                 -90.0, 90.0)) -> dict:
+    """Alt WKT reader analog (NtsWKTReaderShapeParser.cs:39-143).
+
+    The reference delegates tokenization to NTS's WKTReader and shares
+    NtsWktShapeParser's shape assembly; observable differences vs the
+    default grammar (cs:30-37 doc list + CheckCoordinates cs:96-143):
+    - ENVELOPE / BUFFER (spatial4n extensions) are unsupported at any
+      nesting depth;
+    - per-vertex longitude wrap via NormLonDEG when geo &&
+      normWrapLongitude (the coordinate filter, cs:108-124 — applied
+      BEFORE rect demotion / dateline processing, bypassing the
+      precision model);
+    - VerifyX/VerifyY bounds check per vertex (SpatialContext.cs
+      VerifyX) — out-of-bounds coordinates raise instead of parsing.
+    Rect demotion (MakeRectFromPoly), datelineRule, validationRule and
+    multi-overlap resolution apply exactly as in the base parser.
+    """
+    from .normalize import norm_lon_deg
+
+    if dateline_rule not in DATELINE_RULES:
+        raise ValueError(f"unknown dateline rule {dateline_rule!r}")
+    if validation_rule not in VALIDATION_RULES:
+        raise ValueError(f"unknown validation rule {validation_rule!r}")
+    minx_b, maxx_b, miny_b, maxy_b = world_bounds
+
+    def xy_hook(x: float, y: float) -> tuple:
+        if geo and norm_wrap_longitude:
+            x = float(norm_lon_deg(np.array([x], dtype=np.float64))[0])
+        if not (minx_b <= x <= maxx_b):
+            raise WktParseError(
+                f"Bad X value {x} is not in boundary {minx_b} to {maxx_b}")
+        if not (miny_b <= y <= maxy_b):
+            raise WktParseError(
+                f"Bad Y value {y} is not in boundary {miny_b} to {maxy_b}")
+        return (x, y)
+
+    st = _State(wkt, snap=snap)
+    st.xy_hook = xy_hook
+    st.iso_only = True
+    shape = _parse_shape(st, geo, dateline_rule, validation_rule,
+                         allow_multi_overlap)
+    if not st.at_end():
+        raise WktParseError(f"trailing input at {st.pos}")
+    return shape
+
+
 def _parse_shape(st: _State, geo: bool, dateline_rule: str = "width180",
                  validation_rule: str = "error",
                  allow_multi_overlap: bool = False) -> dict:
     word = st.next().upper()
+    if st.iso_only and word in ("ENVELOPE", "BUFFER"):
+        # alt reader: NTS's WKTReader speaks ISO WKT only — the
+        # spatial4n grammar extensions are unsupported, at any nesting
+        # depth (NtsWKTReaderShapeParser.cs:30-37)
+        raise WktParseError(
+            f"{word} is a spatial4n WKT extension; unsupported by the "
+            "NTS WKTReader grammar")
     custom = CUSTOM_SHAPE_PARSERS.get(word)
     if custom is not None:
         rec = custom(st, geo)
