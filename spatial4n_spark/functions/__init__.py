@@ -61,7 +61,9 @@ def st_from_wkt(texts, dateline_rule: str = "width180",
                 validation_rule: str = "error", geo: bool = True,
                 precision_model: str = "floating",
                 precision_scale: float | None = None,
-                allow_multi_overlap: bool = False):
+                allow_multi_overlap: bool = False,
+                parser: str = "default",
+                norm_wrap_longitude: bool = False):
     """WKT -> shape struct (+ error column instead of exceptions).
 
     Parser semantics: Io/WktShapeParser.cs grammar incl. ENVELOPE arg
@@ -73,10 +75,19 @@ def st_from_wkt(texts, dateline_rule: str = "width180",
     NtsSpatialContextFactory.datelineRule/validationRule (defaults
     Width180/Error, NtsSpatialContextFactory.cs:73-75); configured
     variants are cached pandas UDFs with the rules bound in the closure.
+
+    parser="ntsReader" selects the alt reader
+    (NtsWKTReaderShapeParser.cs — ISO-only grammar, per-vertex lon
+    wrap under norm_wrap_longitude, per-vertex bounds verify); the
+    wktShapeParserClass factory key's distributed surface.
     """
+    if parser not in ("default", "ntsReader"):
+        raise ValueError(f"unknown WKT parser {parser!r}")
     key = (dateline_rule, validation_rule, geo, precision_model,
-           precision_scale, allow_multi_overlap)
-    if precision_model == "floating" and not allow_multi_overlap:
+           precision_scale, allow_multi_overlap, parser,
+           norm_wrap_longitude)
+    if (precision_model == "floating" and not allow_multi_overlap
+            and parser == "default"):
         key = (dateline_rule, validation_rule, geo)  # default-cache key
     udf = _WKT_UDF_CACHE.get(key)
     if udf is None:
@@ -87,10 +98,19 @@ def st_from_wkt(texts, dateline_rule: str = "width180",
         snap = _wkt.make_snap(precision_model, precision_scale)
         amo = allow_multi_overlap
 
-        @pandas_udf(SHAPE_SCHEMA)
-        def _configured(t: pd.Series) -> pd.DataFrame:
-            return pd.DataFrame(_wkt.parse_wkt_columns(
-                t, geo, dateline_rule, validation_rule, snap, amo))
+        if parser == "ntsReader":
+            nwl = norm_wrap_longitude
+
+            @pandas_udf(SHAPE_SCHEMA)
+            def _configured(t: pd.Series) -> pd.DataFrame:
+                return pd.DataFrame(_wkt.parse_ntsreader_columns(
+                    t, geo, dateline_rule, validation_rule, snap, amo,
+                    norm_wrap_longitude=nwl))
+        else:
+            @pandas_udf(SHAPE_SCHEMA)
+            def _configured(t: pd.Series) -> pd.DataFrame:
+                return pd.DataFrame(_wkt.parse_wkt_columns(
+                    t, geo, dateline_rule, validation_rule, snap, amo))
 
         udf = _WKT_UDF_CACHE[key] = _configured
     return udf(texts)

@@ -1213,6 +1213,57 @@ def parse_wkt_columns(texts, geo: bool = True,
                 error=error)
 
 
+def parse_ntsreader_columns(texts, geo: bool = True,
+                            dateline_rule: str = "width180",
+                            validation_rule: str = "error",
+                            snap=None, allow_multi_overlap: bool = False,
+                            norm_wrap_longitude: bool = False,
+                            world_bounds: tuple = (-180.0, 180.0,
+                                                   -90.0, 90.0)) -> dict:
+    """Columnar batch parse under the ALT reader's semantics (see
+    parse_shape_ntsreader). Compatibility mode: per-string loop, no
+    vectorized fast paths — the alt reader's per-vertex wrap/verify
+    hooks preclude the regex shortcuts, and users pick this parser for
+    reference parity, not throughput (the default grammar remains the
+    hot path)."""
+    import pandas as pd
+
+    s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts),
+                                                             dtype=object)
+    n = len(s)
+    nan = float("nan")
+    kind = np.zeros(n, dtype=np.int8)
+    x = np.full(n, nan); y = np.full(n, nan); radius = np.full(n, nan)
+    minx = np.full(n, nan); maxx = np.full(n, nan)
+    miny = np.full(n, nan); maxy = np.full(n, nan)
+    xs: list = [None] * n
+    ys: list = [None] * n
+    ring_offsets: list = [None] * n
+    error: list = [None] * n
+    vals = s.to_numpy(dtype=object)
+    for i in range(n):
+        if vals[i] is None or (isinstance(vals[i], float)
+                               and np.isnan(vals[i])):
+            error[i] = "null"
+            continue
+        try:
+            rec = parse_shape_ntsreader(
+                vals[i], geo, dateline_rule, validation_rule, snap,
+                allow_multi_overlap, norm_wrap_longitude, world_bounds)
+            kind[i] = rec["kind"]
+            x[i] = rec["x"]; y[i] = rec["y"]; radius[i] = rec["radius"]
+            minx[i] = rec["minx"]; maxx[i] = rec["maxx"]
+            miny[i] = rec["miny"]; maxy[i] = rec["maxy"]
+            xs[i] = rec["xs"] or None
+            ys[i] = rec["ys"] or None
+            ring_offsets[i] = rec["ring_offsets"] or None
+        except Exception as e:  # noqa: BLE001 - kernels never throw
+            error[i] = str(e)[:200]
+    return dict(kind=kind, x=x, y=y, radius=radius, minx=minx, maxx=maxx,
+                miny=miny, maxy=maxy, xs=xs, ys=ys, ring_offsets=ring_offsets,
+                error=error)
+
+
 # ---------------------------------------------------------------------------
 # legacy text format (Io/LegacyShapeReadWriterFormat.cs:46-209)
 # ---------------------------------------------------------------------------

@@ -129,3 +129,29 @@ def test_factory_key_variants():
     assert SpatialEngineContext.from_args({}).wkt_parser == "default"
     with pytest.raises(ValueError, match="Unknown WKT shape parser"):
         SpatialEngineContext.from_args({"wktShapeParserClass": "bogus"})
+
+
+# ---- distributed surface: st_from_wkt(parser="ntsReader") ----
+
+def test_st_from_wkt_ntsreader(spark):
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import functions as SF
+
+    rows = [("Point(-160 30)",),
+            ("POINT(-240 20)",),                  # out of bounds
+            ("ENVELOPE(10, 20, 40, 30)",),        # extension -> error
+            ("Polygon((-170 30, -170 15, 160 15, 160 30, -170 30))",)]
+    df = spark.createDataFrame(rows, ["wkt"])
+    out = df.select(SF.st_from_wkt(
+        F.col("wkt"), dateline_rule="ccwRect",
+        parser="ntsReader").alias("s")).collect()
+    assert out[0].s.kind == KIND_POINT and out[0].s.x == -160.0
+    assert "Bad X value" in out[1].s.error
+    assert "unsupported by the NTS" in out[2].s.error
+    assert out[3].s.kind == KIND_RECT  # CcwRect demotion intact
+
+    wrapped = df.select(SF.st_from_wkt(
+        F.col("wkt"), dateline_rule="ccwRect", parser="ntsReader",
+        norm_wrap_longitude=True).alias("s")).collect()
+    assert wrapped[1].s.x == 120.0  # -240 wraps instead of erroring
