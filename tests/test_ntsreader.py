@@ -155,3 +155,52 @@ def test_st_from_wkt_ntsreader(spark):
         F.col("wkt"), dateline_rule="ccwRect", parser="ntsReader",
         norm_wrap_longitude=True).alias("s")).collect()
     assert wrapped[1].s.x == 120.0  # -240 wraps instead of erroring
+
+
+# ---- randomized equivalence sweep: in-bounds, extension-free WKT ----
+
+def test_randomized_equivalence_with_default():
+    """On the shared (ISO, in-bounds) grammar subset the alt reader
+    must agree with the default parser exactly — any divergence is a
+    hook leak (xy_hook / iso_only must be no-ops there)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    ctx_a = _ctx(datelineRule="width180")
+    ctx_b = SpatialEngineContext.from_args({"datelineRule": "width180"})
+
+    def rand_pts(n):
+        xs = rng.uniform(-179, 179, n).round(6)
+        ys = rng.uniform(-89, 89, n).round(6)
+        return ", ".join(f"{a} {b}" for a, b in zip(xs, ys))
+
+    wkts = []
+    for _ in range(40):
+        wkts.append(f"POINT({rand_pts(1)})")
+        wkts.append(f"LINESTRING({rand_pts(4)})")
+        wkts.append(f"MULTIPOINT({rand_pts(3)})")
+        # closed convex-ish ring around a random center
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        angs = np.sort(rng.uniform(0, 2 * np.pi, 5))
+        r = rng.uniform(0.5, 4.0)
+        ring = [(round(cx + r * np.cos(a), 6), round(cy + r * np.sin(a), 6))
+                for a in angs]
+        ring.append(ring[0])
+        wkts.append("POLYGON((" + ", ".join(f"{a} {b}" for a, b in ring)
+                    + "))")
+
+    def canon(rec):
+        out = {}
+        for k, v in rec.items():
+            if isinstance(v, float) and math.isnan(v):
+                out[k] = "nan"
+            elif isinstance(v, list):
+                out[k] = [canon(m) if isinstance(m, dict) else m for m in v]
+            else:
+                out[k] = v
+        return out
+
+    for w in wkts:
+        a = ctx_a.parse_wkt(w)
+        b = ctx_b.parse_wkt(w)
+        assert canon(a) == canon(b), w
