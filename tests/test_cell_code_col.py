@@ -122,3 +122,29 @@ def test_cell_code_exact_at_boundaries(spark, precision):
                                       precision).alias("c"))
           .toPandas()["c"], dtype=np.int64)
     assert np.array_equal(got, cell_code(lat, lon, precision))
+
+
+def test_sqlstr_path_plan_stays_codegen_no_decimal(spark):
+    """The string-built expression must stay in whole-stage codegen with
+    BIGINT/DOUBLE types throughout — a bare `1.5` literal in the SQL
+    template would parse as DECIMAL and silently change arithmetic
+    (the D-suffix in _dbl_lit is the guard)."""
+    df = spark.range(100).selectExpr("cast(id as double) / 7 as x",
+                                     "cast(id as double) / 11 as y")
+    out = df.select(SF.st_cell_code_col("`y`", "`x`", 6).alias("c"))
+    assert out.schema["c"].dataType.simpleString() == "bigint"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # "*(N)" prefixes mark whole-stage-codegen stages in the compact form
+    assert "*(" in plan or "WholeStageCodegen" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "decimal" not in analyzed.lower()
+
+    cov = df.selectExpr("x as minx", "x + 0.1 as maxx",
+                        "y as miny", "y + 0.1 as maxy").select(
+        SF.st_cover_codes_col("`minx`", "`maxx`", "`miny`", "`maxy`",
+                              4).alias("c"))
+    assert cov.schema["c"].dataType.simpleString() == "array<bigint>"
+    analyzed = cov._jdf.queryExecution().analyzed().toString()
+    assert "decimal" not in analyzed.lower()
