@@ -1221,12 +1221,17 @@ def parse_ntsreader_columns(texts, geo: bool = True,
                             world_bounds: tuple = (-180.0, 180.0,
                                                    -90.0, 90.0)) -> dict:
     """Columnar batch parse under the ALT reader's semantics (see
-    parse_shape_ntsreader). Compatibility mode: per-string loop, no
-    vectorized fast paths — the alt reader's per-vertex wrap/verify
-    hooks preclude the regex shortcuts, and users pick this parser for
-    reference parity, not throughput (the default grammar remains the
-    hot path)."""
+    parse_shape_ntsreader).
+
+    The dominant POINT case keeps the vectorized regex fast path — its
+    wrap/verify steps are themselves vectorized (norm_lon_deg + two
+    bound comparisons on the extracted coordinate arrays), so point-
+    heavy corpora parse at the default grammar's speed. Non-point
+    strings go through the per-string alt-reader tokenizer (the
+    per-vertex hooks preclude the other regex shortcuts)."""
     import pandas as pd
+
+    from .normalize import norm_lon_deg
 
     s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts),
                                                              dtype=object)
@@ -1241,11 +1246,41 @@ def parse_ntsreader_columns(texts, geo: bool = True,
     ring_offsets: list = [None] * n
     error: list = [None] * n
     vals = s.to_numpy(dtype=object)
-    for i in range(n):
-        if vals[i] is None or (isinstance(vals[i], float)
-                               and np.isnan(vals[i])):
-            error[i] = "null"
-            continue
+
+    minx_b, maxx_b, miny_b, maxy_b = world_bounds
+    null_mask = s.isna().to_numpy()
+    pa_res = _pa_extract_f64(s, _POINT_FAST_PA, ("a", "b"))
+    if pa_res is not None:
+        pxv, pyv = pa_res
+    else:
+        ext = s.where(~s.isna(), "").astype(str).str.extract(
+            _POINT_FAST, expand=True)
+        pxv = np.asarray(ext[0].fillna("nan"), dtype=np.float64)
+        pyv = np.asarray(ext[1].fillna("nan"), dtype=np.float64)
+    if snap is not None:
+        pxv, pyv = snap(pxv), snap(pyv)
+    fast = ~np.isnan(pxv) & ~np.isnan(pyv) & ~null_mask
+    if fast.any():
+        if geo and norm_wrap_longitude:
+            pxv = np.where(fast, norm_lon_deg(pxv), pxv)
+        bad_x = fast & ((pxv < minx_b) | (pxv > maxx_b))
+        bad_y = fast & ~bad_x & ((pyv < miny_b) | (pyv > maxy_b))
+        for i in np.nonzero(bad_x)[0]:
+            error[i] = (f"Bad X value {pxv[i]} is not in boundary "
+                        f"{minx_b} to {maxx_b}")
+        for i in np.nonzero(bad_y)[0]:
+            error[i] = (f"Bad Y value {pyv[i]} is not in boundary "
+                        f"{miny_b} to {maxy_b}")
+        ok = fast & ~bad_x & ~bad_y
+        kind[ok] = KIND_POINT
+        x[ok] = pxv[ok]; y[ok] = pyv[ok]
+        minx[ok] = pxv[ok]; maxx[ok] = pxv[ok]
+        miny[ok] = pyv[ok]; maxy[ok] = pyv[ok]
+
+    handled = fast | null_mask
+    for i in np.nonzero(null_mask)[0]:
+        error[i] = "null"
+    for i in np.nonzero(~handled)[0]:
         try:
             rec = parse_shape_ntsreader(
                 vals[i], geo, dateline_rule, validation_rule, snap,

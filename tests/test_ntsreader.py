@@ -204,3 +204,33 @@ def test_randomized_equivalence_with_default():
         a = ctx_a.parse_wkt(w)
         b = ctx_b.parse_wkt(w)
         assert canon(a) == canon(b), w
+
+
+def test_columns_fast_path_equals_per_string_loop():
+    """The vectorized POINT fast path in parse_ntsreader_columns must
+    agree exactly with parse_shape_ntsreader on wrap, bounds errors,
+    and values — for both wrap modes."""
+    import numpy as np
+
+    from spatial4n_spark.kernels.wkt import (parse_ntsreader_columns,
+                                             parse_shape_ntsreader)
+
+    batch = ["POINT(10.5 20.25)", "POINT(-240 20)", "POINT(181 0)", None,
+             "POINT(0 95)", "POINT(0 -95)", "POINT(-180 90)",
+             "LINESTRING(0 0, 5 5)", "ENVELOPE(10, 20, 40, 30)"]
+    for nwl in (False, True):
+        cols = parse_ntsreader_columns(batch, norm_wrap_longitude=nwl)
+        for i, w in enumerate(batch):
+            if w is None:
+                assert cols["error"][i] == "null"
+                continue
+            try:
+                rec = parse_shape_ntsreader(w, norm_wrap_longitude=nwl)
+            except Exception as e:
+                assert cols["error"][i] is not None, (nwl, w)
+                assert cols["error"][i][:20] == str(e)[:20], (nwl, w)
+                continue
+            assert cols["error"][i] is None, (nwl, w, cols["error"][i])
+            assert cols["kind"][i] == rec["kind"], (nwl, w)
+            if not np.isnan(rec["x"]):
+                assert (cols["x"][i], cols["y"][i]) == (rec["x"], rec["y"])
