@@ -268,16 +268,30 @@ def embedding_neardup_banded(embeddings: DataFrame, id_col: str = "vec_id",
 def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
                    text: str = "text", n_hashes: int = 16, bands: int = 4,
                    shingle_n: int = 2,
-                   stage_dir: str | None = None) -> DataFrame:
-    """Near-dup CLUSTERS: LSH candidate pairs -> connected components.
+                   stage_dir: str | None = None,
+                   method: str = "minhash") -> DataFrame:
+    """Near-dup CLUSTERS: candidate pairs -> connected components.
 
-    The production MinHash-dedup tail: every doc gets a cluster_id
-    (= min doc id of its component; singletons label themselves), so a
-    downstream `where(doc_id == cluster_id)` keeps one canonical doc
-    per near-dup group. `stage_dir` stages CC rounds through parquet
-    (spill-safe at 1e9+ nodes) instead of localCheckpoint."""
+    The production dedup tail: every doc gets a cluster_id (= min doc
+    id of its component; singletons label themselves), so a downstream
+    `where(doc_id == cluster_id)` keeps one canonical doc per near-dup
+    group. `stage_dir` stages CC rounds through parquet (spill-safe at
+    1e9+ nodes) instead of localCheckpoint.
+
+    `method`: "minhash" (shingle-Jaccard similarity, probabilistic
+    banding) or "simhash" (hamming-distance similarity, pigeonhole-
+    exact banding via simhash_neardup_pairs) — the two candidate
+    generators share the pair schema, so the CC tail is identical.
+    """
     from .components import connected_components
-    pairs = minhash_lsh_pairs(df, id_col, text, n_hashes, bands, shingle_n)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text, n_hashes, bands,
+                                  shingle_n)
+    elif method == "simhash":
+        pairs = simhash_neardup_pairs(df, id_col, text).select(
+            "doc_a", "doc_b")
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
     cc = connected_components(pairs, "doc_a", "doc_b",
                               vertices=df.select(id_col),
                               stage_dir=stage_dir)

@@ -67,3 +67,21 @@ def test_simhash_pairs_all_jvm(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_dedup_clusters_simhash_method(spark):
+    """The simhash candidate generator plugs into the CC tail: clusters
+    group the edit-families, canonical = min doc_id, and the method
+    knob rejects unknown values."""
+    import pytest as _pytest
+
+    from spatial4n_spark.operators.dedup import dedup_clusters
+
+    docs = _corpus(spark, 40)
+    out = dedup_clusters(docs, method="simhash")
+    rows = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert set(rows) == set(range(40))          # every doc labeled
+    assert all(rows[d] <= d for d in rows)      # min-id canonical
+    assert len(set(rows.values())) < 40         # families actually merge
+    with _pytest.raises(ValueError, match="unknown dedup method"):
+        dedup_clusters(docs, method="bogus")
