@@ -99,10 +99,17 @@ def make_emit_transform(removal: DataFrame, upstream_digest: str = ""):
 
 def run_corpus_clean(spark: SparkSession, docs: DataFrame, workdir: str,
                      n_buckets: int = 8, rules: dict | None = None,
-                     text_expr: str = "spans[0].text") -> dict:
+                     text_expr: str = "spans[0].text",
+                     near_dup_method: str = "minhash") -> dict:
     """End-to-end: bucket by content hash -> filter/dedup (resumable)
     -> near-dup clusters -> emit clean corpus (resumable). Returns the
-    stage summaries; the clean corpus lands at <workdir>/clean."""
+    stage summaries; the clean corpus lands at <workdir>/clean.
+
+    `near_dup_method`: "minhash" (shingle-Jaccard LSH) or "simhash"
+    (hamming banding, pigeonhole-exact) — dedup_clusters' method knob.
+    The emit stage's manifest identity already folds in the removal
+    list's content checksum, so switching methods on an existing
+    workdir re-runs emit instead of skipping stale buckets."""
     from ..operators.dedup import dedup_clusters
 
     raw = f"{workdir}/raw"
@@ -114,7 +121,8 @@ def run_corpus_clean(spark: SparkSession, docs: DataFrame, workdir: str,
     s1 = run_checkpointed(spark, raw, survivors_path, filter_tf, n_buckets)
 
     survivors = read_output(spark, survivors_path)
-    clusters = dedup_clusters(survivors.select("doc_id", "text"))
+    clusters = dedup_clusters(survivors.select("doc_id", "text"),
+                              method=near_dup_method)
     removal = (clusters.where(F.col("cluster_id") != F.col("doc_id"))
                        .select("doc_id"))
     # materialize the narrow removal list once; both its size and the

@@ -75,3 +75,23 @@ def test_corpus_clean_rules_change_invalidates_manifests(
     s3 = run_corpus_clean(spark, docs, wd, n_buckets=4,
                           rules={"min_words": 6}, text_expr="text")
     assert s3["filter"]["buckets_run"] == 0
+
+
+def test_corpus_clean_simhash_method(spark, docs, tmp_path_factory):
+    """near_dup_method="simhash" runs the same pipeline with the
+    hamming-banded candidate generator: clean corpus is exact-dup-free
+    and simhash-canonical (no non-canonical near-dup survives its own
+    method's re-run)."""
+    from spatial4n_spark.jobs.corpus_clean import run_corpus_clean
+    from spatial4n_spark.operators.dedup import dedup_clusters
+
+    wd = str(tmp_path_factory.mktemp("ccs") / "run")
+    summary = run_corpus_clean(spark, docs, wd, n_buckets=4,
+                               rules={"min_words": 3}, text_expr="text",
+                               near_dup_method="simhash")
+    clean = spark.read.parquet(summary["clean_path"] + "/data")
+    assert clean.count() > 0
+    assert clean.groupBy("text").count().where("count > 1").count() == 0
+    again = dedup_clusters(clean.select("doc_id", "text"),
+                           method="simhash")
+    assert again.where(F.col("cluster_id") != F.col("doc_id")).count() == 0
