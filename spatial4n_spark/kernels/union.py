@@ -257,17 +257,40 @@ def union_rings(ax, ay, bx, by):
     form (outer ring CCW; pocket holes come out CW — orientation is
     irrelevant to the engine's even-odd PIP). Returns None on
     degenerate boundary contact."""
+    return _gh_clip(ax, ay, bx, by, want="union")
+
+
+def intersect_rings(ax, ay, bx, by):
+    """Intersection of two simple rings -> list of (xs, ys) rings (an
+    intersection can have several components — two interlocking
+    C-shapes). Same Greiner–Hormann machinery as union_rings with the
+    dual traversal rule: loops start at ENTRY crossings (the walk ahead
+    is inside the other ring) instead of exits. Returns None on
+    degenerate boundary contact — area callers use
+    kernels/overlay.intersection_area, which has no such bailout."""
+    return _gh_clip(ax, ay, bx, by, want="intersection")
+
+
+def _gh_clip(ax, ay, bx, by, want: str):
     ax, ay = _open_ccw(ax, ay)
     bx, by = _open_ccw(bx, by)
     crossings, point_touch, line_touch = _edge_crossings(ax, ay, bx, by)
     if point_touch or line_touch:
         return None
     if not crossings:
-        if _point_in_ring_strict(ax[0], ay[0], bx, by):
-            return [(bx, by)]
-        if _point_in_ring_strict(bx[0], by[0], ax, ay):
+        a_in_b = _point_in_ring_strict(ax[0], ay[0], bx, by)
+        b_in_a = _point_in_ring_strict(bx[0], by[0], ax, ay)
+        if want == "union":
+            if a_in_b:
+                return [(bx, by)]
+            if b_in_a:
+                return [(ax, ay)]
+            return [(ax, ay), (bx, by)]
+        if a_in_b:
             return [(ax, ay)]
-        return [(ax, ay), (bx, by)]
+        if b_in_a:
+            return [(bx, by)]
+        return []
 
     a_edges: dict = {}
     b_edges: dict = {}
@@ -295,21 +318,22 @@ def union_rings(ax, ay, bx, by):
             if nd is head:
                 break
 
-    # union traversal: follow a list while OUTSIDE the other ring; at
-    # every intersection jump to the twin and keep walking forward.
-    # Starting from exit nodes extracts every union-boundary loop
-    # (outer ring AND any pocket holes two interlocking C-shapes
-    # enclose — hole loops also contain exit nodes). A step guard
-    # bounds the walk; exceeding it means inconsistent links (possible
-    # only under near-degenerate float geometry) -> None.
+    # traversal: follow a list, jumping to the twin at every crossing.
+    # UNION starts at EXIT nodes (the piece of the list ahead is
+    # OUTSIDE the other ring); INTERSECTION starts at ENTRY nodes (the
+    # piece ahead is INSIDE) — at the next crossing the twin's forward
+    # piece continues the same status, so one forward-only loop body
+    # serves both. Starting from every unvisited start-class node
+    # extracts every output loop (union pocket holes / intersection
+    # components alike). A step guard bounds the walk; exceeding it
+    # means inconsistent links (possible only under near-degenerate
+    # float geometry) -> None.
+    start_at_entry = want == "intersection"
     max_steps = 4 * (len(ax) + len(bx) + 2 * len(crossings))
     rings = []
     for start in a_inters:
-        if start.visited or start.entry:
+        if start.visited or start.entry != start_at_entry:
             continue
-        # the start node is an EXIT: the piece of its own list after it
-        # is outside the other ring, so walk FORWARD from it (jumping to
-        # the twin at the start would head into the intersection region)
         start.visited = True
         start.twin.visited = True
         loop_x, loop_y = [start.x], [start.y]
