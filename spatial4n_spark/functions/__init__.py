@@ -1080,6 +1080,116 @@ def st_relate_polygon_polygon(axs: pd.Series, ays: pd.Series,
     return pd.Series(out)
 
 
+@pandas_udf(DoubleType())
+def st_intersection_area(axs: pd.Series, ays: pd.Series, aro: pd.Series,
+                         bxs: pd.Series, bys: pd.Series,
+                         bro: pd.Series) -> pd.Series:
+    """Exact planar area (deg^2) of A ∩ B for even-odd (multi)polygon
+    pairs — the overlay-join refine (kernels/overlay.py: Green's
+    theorem over boundary sub-segments; robust to holes, multiparts,
+    shared edges and A == B, no degenerate bailout)."""
+    from ..kernels.overlay import intersection_area
+    out = np.empty(len(axs), dtype=np.float64)
+    for i in range(len(axs)):
+        ar = aro.iloc[i]
+        br = bro.iloc[i]
+        out[i] = intersection_area(
+            np.asarray(axs.iloc[i]), np.asarray(ays.iloc[i]),
+            np.asarray(ar) if ar is not None else None,
+            np.asarray(bxs.iloc[i]), np.asarray(bys.iloc[i]),
+            np.asarray(br) if br is not None else None)
+    return pd.Series(out)
+
+
+def _shape_area_pages(kind, minx, maxx, miny, maxy, xs, ys, ro):
+    """Shape -> list of planar (xs, ys, ring_offsets) pages for the
+    overlay area kernel. Rects unwrap at the dateline into up to two
+    pages; polygons arrive already page-split from the WKT parser.
+    Returns None for kinds without a polygonal footprint the kernel
+    can measure (circle/collection/empty); measure-zero kinds
+    (point/line) return []."""
+    import numpy as _np
+    if kind == 2:
+        pages = ([((minx, 180.0), (miny, maxy)), ((-180.0, maxx), (miny, maxy))]
+                 if minx > maxx else [((minx, maxx), (miny, maxy))])
+        out = []
+        for (x0, x1), (y0, y1) in pages:
+            out.append((_np.asarray([x0, x1, x1, x0]),
+                        _np.asarray([y0, y0, y1, y1]), None))
+        return out
+    if kind in (7, 8):
+        return [(_np.asarray(xs), _np.asarray(ys),
+                 _np.asarray(ro) if ro is not None else None)]
+    if kind in (1, 4, 5, 6):
+        return []
+    return None
+
+
+@pandas_udf(DoubleType())
+def st_shape_intersection_area(akind: pd.Series, aminx: pd.Series,
+                               amaxx: pd.Series, aminy: pd.Series,
+                               amaxy: pd.Series, axs: pd.Series,
+                               ays: pd.Series, aro: pd.Series,
+                               bkind: pd.Series, bminx: pd.Series,
+                               bmaxx: pd.Series, bminy: pd.Series,
+                               bmaxy: pd.Series, bxs: pd.Series,
+                               bys: pd.Series, bro: pd.Series) -> pd.Series:
+    """Kind-dispatching intersection area (deg^2) over shape structs:
+    rect x rect / rect x polygon / polygon x polygon, dateline-crossing
+    rects paged. Measure-zero kinds (point/line) give 0.0; kinds
+    without a polygonal footprint (circle/collection/empty) give null."""
+    from ..kernels.overlay import intersection_area
+    out = np.full(len(akind), np.nan, dtype=np.float64)
+    for i in range(len(akind)):
+        pa = _shape_area_pages(akind.iloc[i], aminx.iloc[i], amaxx.iloc[i],
+                               aminy.iloc[i], amaxy.iloc[i],
+                               axs.iloc[i], ays.iloc[i], aro.iloc[i])
+        pb = _shape_area_pages(bkind.iloc[i], bminx.iloc[i], bmaxx.iloc[i],
+                               bminy.iloc[i], bmaxy.iloc[i],
+                               bxs.iloc[i], bys.iloc[i], bro.iloc[i])
+        if pa is None or pb is None:
+            continue
+        out[i] = sum(intersection_area(p[0], p[1], p[2], q[0], q[1], q[2])
+                     for p in pa for q in pb) if pa and pb else 0.0
+    return pd.Series(out)
+
+
+def rect_intersection_area_cols(aminx, amaxx, aminy, amaxy,
+                                bminx, bmaxx, bminy, bmaxy,
+                                geo: bool = True):
+    """Planar intersection area (deg^2) of two rects as a PURE Column
+    expression (JVM codegen, no Python).
+
+    Dateline-aware: a geo rect with minX > maxX is the arc
+    [minX, minX + width] with width = maxX - minX + 360
+    (RectangleImpl.cs:134-147). The overlap LENGTH of two arcs on the
+    longitude circle is the shifted-interval sum
+
+        Σ_{s ∈ {-360, 0, +360}} max(0, min(a1, b1+s) - max(a0, b0+s))
+
+    which is exact for arc widths ≤ 360 (a world-wrapping side and a
+    two-component overlap both fall out of the same three terms).
+    Mirrored verbatim by the SQL oracle (contract._rect_inter_area_sql)
+    so engine and oracle agree bit-for-bit before rounding."""
+    aw = amaxx - aminx
+    bw = bmaxx - bminx
+    if geo:
+        aw = F.when(aw < 0, aw + 360.0).otherwise(aw)
+        bw = F.when(bw < 0, bw + 360.0).otherwise(bw)
+    a1 = aminx + aw
+    b1 = bminx + bw
+    zero = F.lit(0.0)
+    if geo:
+        x_ov = zero
+        for s in (-360.0, 0.0, 360.0):
+            x_ov = x_ov + F.greatest(
+                zero, F.least(a1, b1 + s) - F.greatest(aminx, bminx + s))
+    else:
+        x_ov = F.greatest(zero, F.least(a1, b1) - F.greatest(aminx, bminx))
+    y_ov = F.greatest(zero, F.least(amaxy, bmaxy) - F.greatest(aminy, bminy))
+    return x_ov * y_ov
+
+
 def make_st_to_wkt(decimals: int | None = None):
     """WKT formatter UDF factory (shape struct -> text)."""
     @pandas_udf(StringType())
@@ -1335,6 +1445,7 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_area_geo": _st_area_geo,
         "st_area_euclid": _st_area_euclid,
         "st_relate_polygon_polygon": st_relate_polygon_polygon,
+        "st_intersection_area": st_intersection_area,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,
         "st_simplify": _st_simplify_udf,

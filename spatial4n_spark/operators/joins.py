@@ -506,7 +506,8 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
                      broadcast_right: bool = True,
                      predicate: str = "intersects",
                      salt: int | None = None,
-                     right_id: str | None = None) -> DataFrame:
+                     right_id: str | None = None,
+                     shape_kinds: tuple | None = None) -> DataFrame:
     """Distributed polygon(shape) x polygon(shape) spatial join.
 
     The two-layer join (admin boundaries x land parcels) — both sides
@@ -532,6 +533,13 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     side replicates across all buckets, and the equi-join key becomes
     (cell, salt), splitting a hot cell's probe rows across `salt`
     tasks. AQE skew-join (session.py) is the runtime backstop.
+
+    `shape_kinds=(2, 2)`: declares both layers all-rect (page-split,
+    like every bbox this join consumes). For predicate "intersects"
+    the closed bbox gate below IS the exact rect-rect relate
+    (RectangleImpl.Relate(rect) on planar rects), so the Python refine
+    is skipped entirely and the whole join runs inside codegen — the
+    two-layer twin of the rects-only gate in point_in_shape_join.
 
     `right_id`: unique right-key column enabling the CLOSURE refine for
     the broadcast-small right side (the admin-boundaries x parcels
@@ -604,6 +612,8 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     gated = (j.where(bbox_ok & (F.col("__cell") == ref_cell))
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0"))
 
+    if shape_kinds == (2, 2) and predicate == "intersects":
+        return gated
     return _apply_shape_predicate(gated, ls, rs, predicate)
 
 

@@ -1,0 +1,143 @@
+"""Distributed overlay-intersection join: the classic GIS overlay
+("how much area does every admin x landuse pair share?") at Spark
+scale.
+
+Engine-added operator (no reference analog — Spatial4n stops at Relate
+verdicts; reference relate semantics underpin the candidate stage via
+shape_shape_join). Composition:
+
+  1. candidates: the existing cell-cover equi-join + exact relate
+     refine (`shape_shape_join`, predicate="intersects") — broadcast /
+     shuffle / salted paths, reference-point dedup, all inherited;
+  2. measure: one Arrow stage computes the exact planar intersection
+     area per surviving pair (kernels/overlay.py, Green's theorem —
+     holes, multiparts, shared edges, dateline-paged rects);
+  3. rect x rect pairs short-circuit to a PURE Column arc-overlap
+     formula — a two-rect-layer overlay runs with zero Python when
+     `shape_kinds=(2, 2)` is declared.
+
+Scale shape: identical to the two-layer join (one equi-join shuffle or
+broadcast, no distinct, no driver data); the area stage is per-pair
+O(E_A * E_B) vectorized NumPy on rows that already passed the relate
+refine, so the Python stage sees only true intersecting pairs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .joins import shape_shape_join
+
+
+def overlay_intersection_join(left: DataFrame, right: DataFrame,
+                              precision: int,
+                              left_shape: str = "lshape",
+                              right_shape: str = "rshape",
+                              broadcast_right: bool = True,
+                              salt: int | None = None,
+                              shape_kinds: tuple | None = None,
+                              with_fracs: bool = False,
+                              keep_zero: bool = False,
+                              area_col: str = "inter_area_deg2") -> DataFrame:
+    """Overlay join of two shape layers with exact intersection areas.
+
+    Output: every intersecting (left, right) pair with `area_col`
+    (planar deg^2). `shape_kinds=(2, 2)` declares both layers all-rect
+    and compiles the measure to a pure Column expression (no Python
+    stage anywhere in the plan — candidates already run JVM-only for
+    rect layers). `with_fracs` adds frac_left / frac_right (share of
+    each shape's own area, null when a side has zero area).
+    `keep_zero` keeps boundary-touch pairs (area 0); default drops
+    them, which is what area-weighted aggregation wants.
+
+    salt / broadcast_right pass through to the candidate join.
+    """
+    from .. import functions as SF
+
+    if shape_kinds != (2, 2):
+        # the candidate join's exact refine is the polygon-polygon
+        # kernel: give kind-2 rects their 4-corner ring arrays (pure
+        # Column, stays in codegen) so mixed rect/polygon layers flow
+        # through unchanged. Like every two-layer join input, bboxes
+        # are assumed page-split (non-dateline-crossing).
+        left = _with_rect_rings(left, left_shape)
+        right = _with_rect_rings(right, right_shape)
+    pairs = shape_shape_join(left, right, precision,
+                             left_shape=left_shape, right_shape=right_shape,
+                             broadcast_right=broadcast_right,
+                             predicate="intersects", salt=salt,
+                             shape_kinds=shape_kinds)
+    ls, rs = F.col(left_shape), F.col(right_shape)
+
+    rect_jvm = SF.rect_intersection_area_cols(
+        ls["minx"], ls["maxx"], ls["miny"], ls["maxy"],
+        rs["minx"], rs["maxx"], rs["miny"], rs["maxy"])
+    if shape_kinds == (2, 2):
+        area = rect_jvm
+    else:
+        arrow = SF.st_shape_intersection_area(
+            ls["kind"], ls["minx"], ls["maxx"], ls["miny"], ls["maxy"],
+            ls["xs"], ls["ys"], ls["ring_offsets"],
+            rs["kind"], rs["minx"], rs["maxx"], rs["miny"], rs["maxy"],
+            rs["xs"], rs["ys"], rs["ring_offsets"])
+        # rect x rect rows take the JVM formula (bit-identical to the
+        # paged kernel — test_overlay_op parity case); mixed rows take
+        # the Arrow kernel.
+        area = F.when((ls["kind"] == 2) & (rs["kind"] == 2),
+                      rect_jvm).otherwise(arrow)
+
+    out = pairs.withColumn(area_col, area)
+    if not keep_zero:
+        out = out.where(F.col(area_col) > 0.0)
+    if with_fracs:
+        la = _own_area(SF, ls)
+        ra = _own_area(SF, rs)
+        out = (out.withColumn("frac_left",
+                              F.when(la > 0.0, F.col(area_col) / la))
+                  .withColumn("frac_right",
+                              F.when(ra > 0.0, F.col(area_col) / ra)))
+    return out
+
+
+def _with_rect_rings(df: DataFrame, col: str) -> DataFrame:
+    """Fill xs/ys/ring_offsets for kind-2 rects (4-corner ring; a
+    dateline-crossing rect gets its two ±180 pages) so the polygon
+    relate/area kernels can consume rect rows. Pure Column rebuild of
+    the shape struct — no Python stage."""
+    s = F.col(col)
+    crossing = s["minx"] > s["maxx"]
+    xs_plain = F.array(s["minx"], s["maxx"], s["maxx"], s["minx"])
+    ys_plain = F.array(s["miny"], s["miny"], s["maxy"], s["maxy"])
+    xs_cross = F.array(s["minx"], F.lit(180.0), F.lit(180.0), s["minx"],
+                       F.lit(-180.0), s["maxx"], s["maxx"], F.lit(-180.0))
+    ys_cross = F.array(s["miny"], s["miny"], s["maxy"], s["maxy"],
+                       s["miny"], s["miny"], s["maxy"], s["maxy"])
+    lit_i = lambda v: F.lit(v).cast("int")  # noqa: E731
+    ro_plain = F.array(lit_i(0), lit_i(4))
+    ro_cross = F.array(lit_i(0), lit_i(4), lit_i(8))
+    is_rect = s["kind"] == 2
+    new = F.struct(
+        s["kind"].alias("kind"), s["x"].alias("x"), s["y"].alias("y"),
+        s["radius"].alias("radius"),
+        s["minx"].alias("minx"), s["maxx"].alias("maxx"),
+        s["miny"].alias("miny"), s["maxy"].alias("maxy"),
+        F.when(is_rect, F.when(crossing, xs_cross).otherwise(xs_plain))
+         .otherwise(s["xs"]).alias("xs"),
+        F.when(is_rect, F.when(crossing, ys_cross).otherwise(ys_plain))
+         .otherwise(s["ys"]).alias("ys"),
+        F.when(is_rect, F.when(crossing, ro_cross).otherwise(ro_plain))
+         .otherwise(s["ring_offsets"]).alias("ring_offsets"),
+        s["error"].alias("error"))
+    return df.withColumn(col, new)
+
+
+def _own_area(SF, s):
+    """Planar even-odd area of one shape struct (rect JVM, polygon via
+    the existing Euclidean GetArea UDF)."""
+    rect = (s["maxy"] - s["miny"]) * (
+        F.when(s["maxx"] >= s["minx"], s["maxx"] - s["minx"])
+         .otherwise(s["maxx"] - s["minx"] + 360.0))
+    euclid = SF.st_area(s["kind"], s["radius"],
+                        s["minx"], s["maxx"], s["miny"], s["maxy"],
+                        s["xs"], s["ys"], s["ring_offsets"], geo=False)
+    return F.when(s["kind"] == 2, rect).otherwise(euclid)

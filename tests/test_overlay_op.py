@@ -1,0 +1,245 @@
+"""operators/overlay.overlay_intersection_join: distributed overlay
+with exact intersection areas, vs a driver-side brute force built on
+the independently-tested kernel."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark import functions as SF
+from spatial4n_spark.kernels.overlay import intersection_area
+from spatial4n_spark.operators.overlay import overlay_intersection_join
+
+
+def _rect_wkt(minx, miny, maxx, maxy):
+    return f"ENVELOPE({minx}, {maxx}, {maxy}, {miny})"
+
+
+def _poly_wkt(xs, ys):
+    pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
+    return f"POLYGON(({pts}, {xs[0]} {ys[0]}))"
+
+
+def _layer(spark, rows, col):
+    df = spark.createDataFrame(rows, f"{col}_id int, wkt string")
+    return (df.withColumn(col + "shape", SF.st_from_wkt(F.col("wkt")))
+              .select(col + "_id", col + "shape"))
+
+
+@pytest.fixture(scope="module")
+def layers(spark):
+    rng = np.random.default_rng(42)
+    lrows, lshapes = [], {}
+    for i in range(120):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-70, 70)
+        w, h = rng.uniform(2, 14), rng.uniform(2, 12)
+        if i % 3 == 0:  # rect
+            wkt = _rect_wkt(cx, cy, min(cx + w, 180), min(cy + h, 85))
+        else:  # star-ish polygon
+            n = int(rng.integers(3, 8))
+            ang = rng.uniform(0, 6) + np.linspace(0, 2 * np.pi, n,
+                                                  endpoint=False)
+            xs = np.clip(cx + w / 2 * np.cos(ang), -180, 180)
+            ys = np.clip(cy + h / 2 * np.sin(ang), -85, 85)
+            wkt = _poly_wkt(xs, ys)
+        lrows.append((i, wkt))
+    rrows = []
+    for j in range(40):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-70, 70)
+        w, h = rng.uniform(4, 20), rng.uniform(4, 16)
+        if j % 2 == 0:
+            wkt = _rect_wkt(cx, cy, min(cx + w, 180), min(cy + h, 85))
+        else:
+            xs = np.asarray([cx, cx + w, cx + w / 2])
+            ys = np.asarray([cy, cy, min(cy + h, 85)])
+            wkt = _poly_wkt(np.clip(xs, -180, 180), ys)
+        rrows.append((j, wkt))
+    return lrows, rrows
+
+
+def _brute(spark, lrows, rrows):
+    """Driver-side expected pair -> area map via the kernel."""
+    from spatial4n_spark.kernels.wkt import parse_wkt_batch
+
+    def shapes_of(rows):
+        recs, errs = parse_wkt_batch([w for _, w in rows])
+        assert not any(errs), errs
+        return {rid: rec for (rid, _), rec in zip(rows, recs)}
+
+    def pages(rec):
+        if rec["kind"] == 2:
+            spans = ([(rec["minx"], 180.0), (-180.0, rec["maxx"])]
+                     if rec["minx"] > rec["maxx"]
+                     else [(rec["minx"], rec["maxx"])])
+            return [(np.asarray([x0, x1, x1, x0]),
+                     np.asarray([rec["miny"], rec["miny"],
+                                 rec["maxy"], rec["maxy"]]), None)
+                    for x0, x1 in spans]
+        return [(np.asarray(rec["xs"]), np.asarray(rec["ys"]),
+                 rec["ring_offsets"])]
+
+    ls, rs = shapes_of(lrows), shapes_of(rrows)
+    exp = {}
+    for lid, a in ls.items():
+        for rid, b in rs.items():
+            area = sum(intersection_area(p[0], p[1], p[2], q[0], q[1], q[2])
+                       for p in pages(a) for q in pages(b))
+            if area > 0.0:
+                exp[(lid, rid)] = area
+    return exp
+
+
+def test_overlay_vs_brute_force(spark, layers):
+    lrows, rrows = layers
+    left = _layer(spark, lrows, "l")
+    right = _layer(spark, rrows, "r")
+    out = overlay_intersection_join(left, right, precision=2,
+                                    with_fracs=True)
+    got = {(r["l_id"], r["r_id"]): (r["inter_area_deg2"],
+                                    r["frac_left"], r["frac_right"])
+           for r in out.collect()}
+    exp = _brute(spark, lrows, rrows)
+    assert set(got) == set(exp)
+    assert len(exp) >= 25
+    for k, (a, fl, fr) in got.items():
+        assert a == pytest.approx(exp[k], abs=1e-9)
+        assert fl is None or 0.0 < fl <= 1.0 + 1e-12
+        assert fr is None or 0.0 < fr <= 1.0 + 1e-12
+
+
+def test_overlay_shuffle_path_equal(spark, layers):
+    lrows, rrows = layers
+    left = _layer(spark, lrows, "l")
+    right = _layer(spark, rrows, "r")
+    b = {(r["l_id"], r["r_id"]): r["inter_area_deg2"]
+         for r in overlay_intersection_join(
+             left, right, precision=2).collect()}
+    s = {(r["l_id"], r["r_id"]): r["inter_area_deg2"]
+         for r in overlay_intersection_join(
+             left, right, precision=2, broadcast_right=False,
+             salt=4).collect()}
+    assert b.keys() == s.keys()
+    for k in b:
+        assert b[k] == pytest.approx(s[k], abs=1e-12)
+
+
+def test_rect_rect_declared_layer_is_jvm_only(spark):
+    """shape_kinds=(2,2): the whole overlay plan compiles to JVM — no
+    Arrow/Python stage — and matches the kernel per pair. Rect layers
+    are page-split (planar), like every two-layer join input."""
+    lrects = [(0, 10.0, 30.0, 10.0, 25.0),
+              (1, -179.0, -150.0, -8.0, 25.0),
+              (2, -50.0, -20.0, -40.0, -15.0)]
+    rrects = [(0, 20.0, 40.0, 15.0, 35.0),
+              (1, -179.0, -165.0, -5.0, 18.0),
+              (2, 100.0, 120.0, 0.0, 10.0)]
+    lrows = [(i, _rect_wkt(x0, y0, x1, y1)) for i, x0, x1, y0, y1 in lrects]
+    rrows = [(i, _rect_wkt(x0, y0, x1, y1)) for i, x0, x1, y0, y1 in rrects]
+
+    def rect_layer(rows, col):
+        # struct built in pure Columns — no parser, no Python anywhere
+        df = spark.createDataFrame(
+            rows, f"{col}_id int, minx double, maxx double,"
+                  " miny double, maxy double")
+        nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+        return df.select(f"{col}_id", F.struct(
+            F.lit(2).cast("byte").alias("kind"),
+            nul("double").alias("x"), nul("double").alias("y"),
+            nul("double").alias("radius"),
+            F.col("minx").alias("minx"), F.col("maxx").alias("maxx"),
+            F.col("miny").alias("miny"), F.col("maxy").alias("maxy"),
+            nul("array<double>").alias("xs"), nul("array<double>").alias("ys"),
+            nul("array<int>").alias("ring_offsets"),
+            nul("string").alias("error")).alias(col + "shape"))
+
+    left = rect_layer(lrects, "l")
+    right = rect_layer(rrects, "r")
+    out = overlay_intersection_join(left, right, precision=2,
+                                    shape_kinds=(2, 2))
+    got = {(r["l_id"], r["r_id"]): r["inter_area_deg2"]
+           for r in out.collect()}
+    exp = _brute(spark, lrows, rrows)
+    assert set(got) == set(exp) and len(exp) >= 2
+    for k in got:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # no per-PAIR Python anywhere: neither the polygon relate refine
+    # nor the Arrow measure survive the (2,2) declaration; the measure
+    # is a plain Project. (The per-SHAPE cover-code kernel is Arrow by
+    # design — joins.py chooses it over the CodegenFallback HOF
+    # expression — and is bounded by layer size, not pair count.)
+    for bad in ("st_relate_polygon_polygon", "st_shape_intersection_area",
+                "MapInPandas", "BatchEvalPython"):
+        assert bad not in p, p[:1500]
+    arrow_nodes = [ln for ln in p.splitlines() if "ArrowEvalPython" in ln]
+    assert all("cover_codes" in ln for ln in arrow_nodes), arrow_nodes
+
+
+def test_mixed_pairs_rect_branch_matches_arrow(spark):
+    """Without the declaration, rect x rect rows take the JVM branch of
+    the per-row dispatch — equal to forcing every row through Arrow."""
+    lrows = [(0, _rect_wkt(0, 0, 20, 20)),
+             (1, _poly_wkt([0, 30, 15], [0, 0, 25]))]
+    rrows = [(0, _rect_wkt(10, 5, 40, 30)),
+             (1, _poly_wkt([5, 35, 20], [-5, -5, 22]))]
+    left = _layer(spark, lrows, "l")
+    right = _layer(spark, rrows, "r")
+    out = overlay_intersection_join(left, right, precision=2)
+    got = {(r["l_id"], r["r_id"]): r["inter_area_deg2"]
+           for r in out.collect()}
+    exp = _brute(spark, lrows, rrows)
+    assert set(got) == set(exp) and len(exp) == 4
+    for k in got:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_crossing_rect_area_functions(spark):
+    """Function-level dateline coverage: the paged Arrow kernel and the
+    pure-Column arc formula agree on crossing x planar and crossing x
+    crossing rect pairs."""
+    rows = [  # (aminx, amaxx, aminy, amaxy, bminx, bmaxx, bminy, bmaxy)
+        (170.0, -160.0, -10.0, 20.0, -179.0, -165.0, -5.0, 18.0),
+        (170.0, -160.0, -10.0, 20.0, 100.0, 175.0, 0.0, 10.0),
+        (170.0, -160.0, -10.0, 20.0, 165.0, -170.0, -5.0, 5.0),
+        (-30.0, 40.0, 0.0, 30.0, 10.0, 50.0, 10.0, 50.0),
+        (170.0, -160.0, -10.0, 20.0, -150.0, -140.0, 0.0, 5.0),  # disjoint
+    ]
+    df = spark.createDataFrame(
+        rows, "aminx double, amaxx double, aminy double, amaxy double,"
+              "bminx double, bmaxx double, bminy double, bmaxy double")
+    a = lambda c: F.col(c)  # noqa: E731
+    out = df.select(
+        SF.rect_intersection_area_cols(
+            a("aminx"), a("amaxx"), a("aminy"), a("amaxy"),
+            a("bminx"), a("bmaxx"), a("bminy"), a("bmaxy")).alias("jvm"),
+        SF.st_shape_intersection_area(
+            F.lit(2).cast("byte"), a("aminx"), a("amaxx"), a("aminy"),
+            a("amaxy"), F.lit(None).cast("array<double>"),
+            F.lit(None).cast("array<double>"), F.lit(None).cast("array<int>"),
+            F.lit(2).cast("byte"), a("bminx"), a("bmaxx"), a("bminy"),
+            a("bmaxy"), F.lit(None).cast("array<double>"),
+            F.lit(None).cast("array<double>"),
+            F.lit(None).cast("array<int>")).alias("arrow")).collect()
+    def arc_overlap(a0, a1raw, b0, b1raw):
+        aw = a1raw - a0 + (360 if a1raw < a0 else 0)
+        bw = b1raw - b0 + (360 if b1raw < b0 else 0)
+        a1, b1 = a0 + aw, b0 + bw
+        return sum(max(0.0, min(a1, b1 + s) - max(a0, b0 + s))
+                   for s in (-360.0, 0.0, 360.0))
+    for r, row in zip(out, rows):
+        exp = (arc_overlap(row[0], row[1], row[4], row[5])
+               * max(0.0, min(row[3], row[7]) - max(row[2], row[6])))
+        assert r["jvm"] == pytest.approx(exp, abs=1e-9)
+        assert r["arrow"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_keep_zero_touch_pairs(spark):
+    lrows = [(0, _rect_wkt(0, 0, 10, 10))]
+    rrows = [(0, _rect_wkt(10, 0, 20, 10))]  # shares the x=10 edge
+    left = _layer(spark, lrows, "l")
+    right = _layer(spark, rrows, "r")
+    drop = overlay_intersection_join(left, right, precision=2)
+    keep = overlay_intersection_join(left, right, precision=2,
+                                     keep_zero=True)
+    assert drop.count() == 0
+    rows = keep.collect()
+    assert len(rows) == 1 and rows[0]["inter_area_deg2"] == 0.0
