@@ -327,21 +327,46 @@ WHERE {_rect_contains_point_sql('minx', 'maxx', 'miny', 'maxy', 'x', 'y')}
 
 def q_rect_rect_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 4-verdict rect-rect relate (dateline-aware) over nation x
-    supplier rect sets, via the vectorized kernel."""
+    supplier rect sets, via the vectorized kernel — plus the overlay
+    measure (operators/overlay.py): exact planar intersection area per
+    pair from the pure-Column dateline-aware arc-overlap formula."""
     from . import functions as SF
     n = nation_rects(spark, sf_dir).select("rect_id", "minx", "maxx", "miny", "maxy")
     s = supplier_rects(spark, sf_dir)
     j = n.crossJoin(s)
     rel = SF.st_relate_rect_rect(F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"),
                                  F.col("sminx"), F.col("smaxx"), F.col("sminy"), F.col("smaxy"))
-    return j.select("rect_id", "srect_id", rel.cast("int").alias("relation"))
+    ia = SF.rect_intersection_area_cols(
+        F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"),
+        F.col("sminx"), F.col("smaxx"), F.col("sminy"), F.col("smaxy"))
+    return j.select("rect_id", "srect_id", rel.cast("int").alias("relation"),
+                    F.round(ia, 4).alias("ia_deg2"))
+
+
+def _rect_inter_area_sql(aminx, amaxx, aminy, amaxy,
+                         bminx, bmaxx, bminy, bmaxy) -> str:
+    """SQL mirror of functions.rect_intersection_area_cols — identical
+    op order so engine and oracle doubles agree bit-for-bit before the
+    shared round()."""
+    aw = f"CASE WHEN ({amaxx} - {aminx}) < 0 THEN ({amaxx} - {aminx}) + 360.0 ELSE ({amaxx} - {aminx}) END"
+    bw = f"CASE WHEN ({bmaxx} - {bminx}) < 0 THEN ({bmaxx} - {bminx}) + 360.0 ELSE ({bmaxx} - {bminx}) END"
+    a1 = f"({aminx} + {aw})"
+    b1 = f"({bminx} + {bw})"
+    terms = "0.0"
+    for s in ("-360.0", "0.0", "360.0"):
+        terms = (f"({terms} + greatest(0.0, least({a1}, {b1} + {s})"
+                 f" - greatest({aminx}, {bminx} + {s})))")
+    y_ov = f"greatest(0.0, least({amaxy}, {bmaxy}) - greatest({aminy}, {bminy}))"
+    return f"({terms} * {y_ov})"
 
 
 ORACLE_RECT_RECT = f"""
 WITH {_CTE_NRECTS}, {_CTE_SRECTS}
 SELECT rect_id, srect_id,
   {_relate_rect_rect_sql('minx', 'maxx', 'miny', 'maxy',
-                         'sminx', 'smaxx', 'sminy', 'smaxy')} AS relation
+                         'sminx', 'smaxx', 'sminy', 'smaxy')} AS relation,
+  round({_rect_inter_area_sql('minx', 'maxx', 'miny', 'maxy',
+                              'sminx', 'smaxx', 'sminy', 'smaxy')}, 4) AS ia_deg2
 FROM nrects CROSS JOIN srects
 """
 
