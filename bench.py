@@ -104,6 +104,11 @@ def main() -> None:
     qs = entry.queries()
     for name in headline:
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
+    # round-4 scope add: overlay-intersection join (bench-only — the
+    # queries() dict sits at the driver's 50-slot cap; measure is
+    # driver-verified via rect_rect_relate.ia_deg2)
+    run("overlay_areas",
+        lambda: contract.q_overlay_areas(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -2990,3 +2990,47 @@ reach(node, label) AS (
 )
 SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# round 4: overlay-intersection join (bench-only entry — queries() sits
+# at the driver's 50-slot cap; the overlay MEASURE is driver-verified
+# through rect_rect_relate's ia_deg2 column, and the polygon path is
+# pytest-verified against brute force in tests/test_overlay_op.py)
+# ---------------------------------------------------------------------------
+
+def q_overlay_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two polygon LAYERS overlaid distributed (supplier triangles x
+    nation triangles, the polygon_polygon_join layers): every
+    intersecting pair with its exact planar intersection area and both
+    area fractions — the classic GIS overlay at engine scale."""
+    from . import functions as SF
+    from .operators.overlay import overlay_intersection_join
+    ta = _load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS lid",
+        f"{TCX} AS x1t", f"({TCY} - 10.0) AS y1t",
+        f"({TCX} + 24.0) AS x2t", f"({TCY} - 10.0) AS y2t",
+        f"({TCX} + 12.0) AS x3t", f"({TCY} + 14.0) AS y3t")
+    tb = _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS rid",
+        *[f"({_PPJ_BX} + {dx}) AS u{i+1}" for i, (dx, _) in enumerate(_PPJ_B_OFF)],
+        *[f"({_PPJ_BY} + {dy}) AS w{i+1}" for i, (_, dy) in enumerate(_PPJ_B_OFF)])
+
+    def wkt3(xs, ys):
+        first = f"cast({xs[0]} as string), ' ', cast({ys[0]} as string)"
+        inner = ", ', ', ".join([f"concat({p})" for p in
+                                 [f"cast({x} as string), ' ', cast({y} as string)"
+                                  for x, y in zip(xs, ys)] + [first]])
+        return f"concat('POLYGON((', {inner}, '))')"
+
+    la = ta.withColumn("lshape", SF.st_from_wkt(
+        F.expr(wkt3(["x1t", "x2t", "x3t"], ["y1t", "y2t", "y3t"]))))
+    rb = tb.withColumn("rshape", SF.st_from_wkt(
+        F.expr(wkt3(["u1", "u2", "u3"], ["w1", "w2", "w3"]))))
+    out = overlay_intersection_join(
+        la.select("lid", "lshape"), rb.select("rid", "rshape"),
+        precision=2, with_fracs=True)
+    return out.select("lid", "rid",
+                      F.round("inter_area_deg2", 4).alias("ia_deg2"),
+                      F.round("frac_left", 6).alias("fl"),
+                      F.round("frac_right", 6).alias("fr"))

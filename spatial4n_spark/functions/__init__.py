@@ -1154,6 +1154,52 @@ def st_shape_intersection_area(akind: pd.Series, aminx: pd.Series,
     return pd.Series(out)
 
 
+_OVERLAY_MEASURE_SCHEMA = StructType([
+    StructField("inter", DoubleType()),
+    StructField("a_area", DoubleType()),
+    StructField("b_area", DoubleType()),
+])
+
+
+@pandas_udf(_OVERLAY_MEASURE_SCHEMA)
+def st_overlay_measure(akind: pd.Series, aminx: pd.Series,
+                       amaxx: pd.Series, aminy: pd.Series,
+                       amaxy: pd.Series, axs: pd.Series,
+                       ays: pd.Series, aro: pd.Series,
+                       bkind: pd.Series, bminx: pd.Series,
+                       bmaxx: pd.Series, bminy: pd.Series,
+                       bmaxy: pd.Series, bxs: pd.Series,
+                       bys: pd.Series, bro: pd.Series) -> pd.DataFrame:
+    """Fused overlay measure: intersection area + both own areas in ONE
+    Arrow exchange (the with_fracs overlay path would otherwise ship
+    the pair's vertex arrays through three separate UDF stages)."""
+    from ..kernels.overlay import intersection_area, polygon_area_evenodd
+    n = len(akind)
+    inter = np.full(n, np.nan, dtype=np.float64)
+    a_area = np.full(n, np.nan, dtype=np.float64)
+    b_area = np.full(n, np.nan, dtype=np.float64)
+
+    def own(pages):
+        if pages is None:
+            return np.nan
+        return sum(polygon_area_evenodd(p[0], p[1], p[2]) for p in pages)
+
+    for i in range(n):
+        pa = _shape_area_pages(akind.iloc[i], aminx.iloc[i], amaxx.iloc[i],
+                               aminy.iloc[i], amaxy.iloc[i],
+                               axs.iloc[i], ays.iloc[i], aro.iloc[i])
+        pb = _shape_area_pages(bkind.iloc[i], bminx.iloc[i], bmaxx.iloc[i],
+                               bminy.iloc[i], bmaxy.iloc[i],
+                               bxs.iloc[i], bys.iloc[i], bro.iloc[i])
+        a_area[i] = own(pa)
+        b_area[i] = own(pb)
+        if pa is None or pb is None:
+            continue
+        inter[i] = sum(intersection_area(p[0], p[1], p[2], q[0], q[1], q[2])
+                       for p in pa for q in pb) if pa and pb else 0.0
+    return pd.DataFrame({"inter": inter, "a_area": a_area, "b_area": b_area})
+
+
 def rect_intersection_area_cols(aminx, amaxx, aminy, amaxy,
                                 bminx, bmaxx, bminy, bmaxy,
                                 geo: bool = True):

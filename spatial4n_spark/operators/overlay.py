@@ -72,31 +72,83 @@ def overlay_intersection_join(left: DataFrame, right: DataFrame,
     rect_jvm = SF.rect_intersection_area_cols(
         ls["minx"], ls["maxx"], ls["miny"], ls["maxy"],
         rs["minx"], rs["maxx"], rs["miny"], rs["maxy"])
+    both_rect = (ls["kind"] == 2) & (rs["kind"] == 2)
+
     if shape_kinds == (2, 2):
-        area = rect_jvm
+        out = pairs.withColumn(area_col, rect_jvm)
+        if with_fracs:
+            la, ra = _rect_area(ls), _rect_area(rs)
+            out = (out.withColumn("frac_left",
+                                  F.when(la > 0.0, F.col(area_col) / la))
+                      .withColumn("frac_right",
+                                  F.when(ra > 0.0, F.col(area_col) / ra)))
+        if not keep_zero:
+            out = out.where(F.col(area_col) > 0.0)
+        return out
+
+    if with_fracs:
+        # ONE fused Arrow exchange for inter + both own areas; the
+        # rect x rect rows still take the JVM formula for the area
+        # (bit-identical to the paged kernel) and JVM own-areas.
+        m = SF.st_overlay_measure(
+            ls["kind"], ls["minx"], ls["maxx"], ls["miny"], ls["maxy"],
+            ls["xs"], ls["ys"], ls["ring_offsets"],
+            rs["kind"], rs["minx"], rs["maxx"], rs["miny"], rs["maxy"],
+            rs["xs"], rs["ys"], rs["ring_offsets"])
+        out = pairs.withColumn("__m", m)
+        mm = F.col("__m")
+        area = F.when(both_rect, rect_jvm).otherwise(mm["inter"])
+        la = F.when(ls["kind"] == 2, _rect_area(ls)).otherwise(mm["a_area"])
+        ra = F.when(rs["kind"] == 2, _rect_area(rs)).otherwise(mm["b_area"])
+        out = (out.withColumn(area_col, area)
+                  .withColumn("frac_left",
+                              F.when(la > 0.0, F.col(area_col) / la))
+                  .withColumn("frac_right",
+                              F.when(ra > 0.0, F.col(area_col) / ra))
+                  .drop("__m"))
     else:
         arrow = SF.st_shape_intersection_area(
             ls["kind"], ls["minx"], ls["maxx"], ls["miny"], ls["maxy"],
             ls["xs"], ls["ys"], ls["ring_offsets"],
             rs["kind"], rs["minx"], rs["maxx"], rs["miny"], rs["maxy"],
             rs["xs"], rs["ys"], rs["ring_offsets"])
-        # rect x rect rows take the JVM formula (bit-identical to the
-        # paged kernel — test_overlay_op parity case); mixed rows take
-        # the Arrow kernel.
-        area = F.when((ls["kind"] == 2) & (rs["kind"] == 2),
-                      rect_jvm).otherwise(arrow)
-
-    out = pairs.withColumn(area_col, area)
+        out = pairs.withColumn(
+            area_col, F.when(both_rect, rect_jvm).otherwise(arrow))
     if not keep_zero:
         out = out.where(F.col(area_col) > 0.0)
-    if with_fracs:
-        la = _own_area(SF, ls)
-        ra = _own_area(SF, rs)
-        out = (out.withColumn("frac_left",
-                              F.when(la > 0.0, F.col(area_col) / la))
-                  .withColumn("frac_right",
-                              F.when(ra > 0.0, F.col(area_col) / ra)))
     return out
+
+
+def area_interpolate(source: DataFrame, target: DataFrame,
+                     value_cols: list, precision: int,
+                     source_shape: str = "lshape",
+                     target_shape: str = "rshape",
+                     target_id: str = "r_id",
+                     broadcast_target: bool = True,
+                     salt: int | None = None,
+                     shape_kinds: tuple | None = None) -> DataFrame:
+    """Areal interpolation (dasymetric transfer): redistribute
+    extensive variables (population, counts, emissions) from source
+    zones onto an unrelated target zoning, weighting each source's
+    contribution by the fraction of ITS area inside the target zone:
+
+        target_value = Σ_sources value * area(source ∩ target)/area(source)
+
+    The standard change-of-support operation every census x grid / old
+    x new admin-boundary pipeline needs. One overlay join + one
+    hash aggregate keyed by the target id — map-side partial combine
+    applies, so the shuffle carries one row per (target, partial).
+    Sources that miss every target zone drop out (their weight mass is
+    simply not transferred — the usual extensive-variable convention).
+    """
+    pairs = overlay_intersection_join(
+        source, target, precision,
+        left_shape=source_shape, right_shape=target_shape,
+        broadcast_right=broadcast_target, salt=salt,
+        shape_kinds=shape_kinds, with_fracs=True)
+    aggs = [F.round(F.sum(F.col(c) * F.col("frac_left")), 6).alias(c)
+            for c in value_cols]
+    return pairs.groupBy(target_id).agg(*aggs)
 
 
 def _with_rect_rings(df: DataFrame, col: str) -> DataFrame:
@@ -131,13 +183,8 @@ def _with_rect_rings(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, new)
 
 
-def _own_area(SF, s):
-    """Planar even-odd area of one shape struct (rect JVM, polygon via
-    the existing Euclidean GetArea UDF)."""
-    rect = (s["maxy"] - s["miny"]) * (
+def _rect_area(s):
+    """Planar area of a rect struct, dateline width — pure Column."""
+    return (s["maxy"] - s["miny"]) * (
         F.when(s["maxx"] >= s["minx"], s["maxx"] - s["minx"])
          .otherwise(s["maxx"] - s["minx"] + 360.0))
-    euclid = SF.st_area(s["kind"], s["radius"],
-                        s["minx"], s["maxx"], s["miny"], s["maxy"],
-                        s["xs"], s["ys"], s["ring_offsets"], geo=False)
-    return F.when(s["kind"] == 2, rect).otherwise(euclid)

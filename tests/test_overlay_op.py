@@ -192,6 +192,28 @@ def test_mixed_pairs_rect_branch_matches_arrow(spark):
         assert got[k] == pytest.approx(exp[k], abs=1e-9)
 
 
+def test_area_interpolate(spark):
+    """Census-to-grid transfer vs hand-computed fractions."""
+    from spatial4n_spark.operators.overlay import area_interpolate
+    # two source squares with population, one 10x10 at origin, one
+    # 10x10 shifted so it straddles two grid cells
+    src = _layer(spark, [(0, _rect_wkt(0, 0, 10, 10)),
+                         (1, _rect_wkt(5, 10, 15, 20))], "l")
+    src = src.withColumn("pop", F.when(F.col("l_id") == 0, 100.0)
+                                 .otherwise(40.0))
+    # target grid: two 10x20 columns [0,10] and [10,20]
+    tgt = _layer(spark, [(0, _rect_wkt(0, 0, 10, 20)),
+                         (1, _rect_wkt(10, 0, 20, 20))], "r")
+    out = {r["r_id"]: r["pop"]
+           for r in area_interpolate(src, tgt, ["pop"], precision=2,
+                                     shape_kinds=(2, 2)).collect()}
+    # source 0 entirely in column 0; source 1 half in each column
+    assert out[0] == pytest.approx(100.0 + 20.0)
+    assert out[1] == pytest.approx(20.0)
+    # extensive mass conserved when sources are fully covered
+    assert sum(out.values()) == pytest.approx(140.0)
+
+
 def test_crossing_rect_area_functions(spark):
     """Function-level dateline coverage: the paged Arrow kernel and the
     pure-Column arc formula agree on crossing x planar and crossing x
