@@ -525,8 +525,11 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     which is what the WKT parser produces for crossing polygons.
 
     `predicate`: "intersects" (not disjoint), "contains" (left covers
-    right), "within" (left covered by right), or "all" (keep the
-    relation code column, no filter).
+    right), "within" (left covered by right), "all" (keep the
+    relation code column, no filter), or "bbox" (reference-point-
+    deduped bbox-gated CANDIDATES, no exact refine — for consumers
+    whose own measure subsumes the relate, e.g. the overlay join's
+    area > 0 filter).
 
     `salt` (shuffle path only): hot-cell skew lever for two HUGE
     layers — the left side picks a salt bucket by row hash, the right
@@ -612,7 +615,8 @@ def shape_shape_join(left: DataFrame, right: DataFrame, precision: int,
     gated = (j.where(bbox_ok & (F.col("__cell") == ref_cell))
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0"))
 
-    if shape_kinds == (2, 2) and predicate == "intersects":
+    if predicate == "bbox" or (shape_kinds == (2, 2)
+                               and predicate == "intersects"):
         return gated
     return _apply_shape_predicate(gated, ls, rs, predicate)
 

@@ -62,10 +62,16 @@ def overlay_intersection_join(left: DataFrame, right: DataFrame,
         # are assumed page-split (non-dateline-crossing).
         left = _with_rect_rings(left, left_shape)
         right = _with_rect_rings(right, right_shape)
+    # keep_zero=False: the area > 0 filter below subsumes the exact
+    # relate (touch pairs measure 0 and drop anyway), so take bbox
+    # candidates and skip the relate refine — ONE Python stage over
+    # candidates instead of relate-over-candidates + measure-over-
+    # survivors. keep_zero=True needs the relate to keep touch pairs.
+    predicate = "intersects" if keep_zero else "bbox"
     pairs = shape_shape_join(left, right, precision,
                              left_shape=left_shape, right_shape=right_shape,
                              broadcast_right=broadcast_right,
-                             predicate="intersects", salt=salt,
+                             predicate=predicate, salt=salt,
                              shape_kinds=shape_kinds)
     ls, rs = F.col(left_shape), F.col(right_shape)
 
