@@ -1154,6 +1154,80 @@ def st_shape_intersection_area(akind: pd.Series, aminx: pd.Series,
     return pd.Series(out)
 
 
+@pandas_udf(SHAPE_SCHEMA)
+def st_intersection(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
+                    aminy: pd.Series, amaxy: pd.Series, axs: pd.Series,
+                    ays: pd.Series, aro: pd.Series,
+                    bkind: pd.Series, bminx: pd.Series, bmaxx: pd.Series,
+                    bminy: pd.Series, bmaxy: pd.Series, bxs: pd.Series,
+                    bys: pd.Series, bro: pd.Series) -> pd.DataFrame:
+    """Intersection GEOMETRY of two SIMPLE (single-ring, hole-free,
+    non-dateline-crossing) polygons/rects as a shape struct — kind 7
+    for one component, kind 8 for several (interlocking C-shapes),
+    kind 0 (EMPTY) for a disjoint pair. Greiner–Hormann traversal
+    (kernels/union.intersect_rings, the union kernel's dual).
+
+    Honest contract: degenerate boundary contact (shared vertices,
+    collinear overlapping edges) and holed/multipart/paged inputs
+    return an error row — the exact MEASURE for all those cases is
+    `st_intersection_area`/`st_overlay_measure`, which has no such
+    bailout. Rect rows are converted to their 4-corner ring."""
+    from ..kernels.union import intersect_rings
+    rows = []
+    for i in range(len(akind)):
+        try:
+            ring_a = _simple_ring(akind.iloc[i], aminx.iloc[i],
+                                  amaxx.iloc[i], aminy.iloc[i],
+                                  amaxy.iloc[i], axs.iloc[i], ays.iloc[i],
+                                  aro.iloc[i])
+            ring_b = _simple_ring(bkind.iloc[i], bminx.iloc[i],
+                                  bmaxx.iloc[i], bminy.iloc[i],
+                                  bmaxy.iloc[i], bxs.iloc[i], bys.iloc[i],
+                                  bro.iloc[i])
+        except ValueError as e:
+            rows.append(dict(_EMPTY_ROW, error=str(e)))
+            continue
+        rings = intersect_rings(ring_a[0], ring_a[1], ring_b[0], ring_b[1])
+        if rings is None:
+            rows.append(dict(_EMPTY_ROW,
+                             error="degenerate boundary contact"))
+            continue
+        if not rings:
+            rows.append(dict(_EMPTY_ROW, error=None))
+            continue
+        xs_out, ys_out, offs = [], [], [0]
+        for rx, ry in rings:
+            # emit closed rings, matching the WKT parser's convention
+            xs_out.extend(rx.tolist() + [float(rx[0])])
+            ys_out.extend(ry.tolist() + [float(ry[0])])
+            offs.append(len(xs_out))
+        rows.append(dict(
+            kind=8 if len(rings) > 1 else 7, x=None, y=None, radius=None,
+            minx=min(xs_out), maxx=max(xs_out),
+            miny=min(ys_out), maxy=max(ys_out),
+            xs=xs_out, ys=ys_out, ring_offsets=offs, error=None))
+    return pd.DataFrame(rows)
+
+
+def _simple_ring(kind, minx, maxx, miny, maxy, xs, ys, ro):
+    """One open simple ring from a shape struct, or ValueError."""
+    if kind == 2:
+        if minx > maxx:
+            raise ValueError("dateline-crossing rect: page-split first")
+        return (np.asarray([minx, maxx, maxx, minx], dtype=np.float64),
+                np.asarray([miny, miny, maxy, maxy], dtype=np.float64))
+    if kind != 7:
+        raise ValueError(f"st_intersection needs simple polygons/rects,"
+                         f" got kind {int(kind)}")
+    if ro is not None and len(ro) > 2:
+        raise ValueError("holed/multipart polygon: use st_intersection_area")
+    rx = np.asarray(xs, dtype=np.float64)
+    ry = np.asarray(ys, dtype=np.float64)
+    if len(rx) >= 2 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+        rx, ry = rx[:-1], ry[:-1]
+    return rx, ry
+
+
 _OVERLAY_MEASURE_SCHEMA = StructType([
     StructField("inter", DoubleType()),
     StructField("a_area", DoubleType()),
@@ -1492,6 +1566,8 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_area_euclid": _st_area_euclid,
         "st_relate_polygon_polygon": st_relate_polygon_polygon,
         "st_intersection_area": st_intersection_area,
+        "st_intersection": st_intersection,
+        "st_overlay_measure": st_overlay_measure,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,
         "st_simplify": _st_simplify_udf,

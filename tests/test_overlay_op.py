@@ -254,6 +254,55 @@ def test_crossing_rect_area_functions(spark):
         assert r["arrow"] == pytest.approx(exp, abs=1e-9)
 
 
+def test_st_intersection_geometry(spark):
+    """GH geometry output: WKT roundtrip, component count, area match,
+    honest error rows for degenerate/holed inputs."""
+    cases = [
+        # overlapping squares -> one quad of area 1
+        ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))", 7, 1.0, None),
+        # U-shape x bar -> two components
+        ("POLYGON((0 0, 1 0, 1 2, 2 2, 2 0, 3 0, 3 3, 0 3, 0 0))",
+         "POLYGON((-1 0.5, 4 0.5, 4 1.5, -1 1.5, -1 0.5))", 8, 2.0, None),
+        # disjoint -> EMPTY
+        ("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))",
+         "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))", 0, None, None),
+        # shared edge -> degenerate error
+        ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))", 0, None, "degenerate"),
+        # holed input -> error pointing at the area path
+        ("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0),(4 4, 5 4, 5 5, 4 5, 4 4))",
+         "POLYGON((1 1, 8 1, 8 8, 1 8, 1 1))", 0, None, "holed"),
+    ]
+    df = spark.createDataFrame(cases, "awkt string, bwkt string,"
+                               " ekind int, earea double, eerr string")
+    a = SF.st_from_wkt(F.col("awkt"))
+    b = SF.st_from_wkt(F.col("bwkt"))
+    df = df.select("ekind", "earea", "eerr",
+                   a.alias("a"), b.alias("b"))
+    sa, sb = F.col("a"), F.col("b")
+    inter = SF.st_intersection(
+        sa["kind"], sa["minx"], sa["maxx"], sa["miny"], sa["maxy"],
+        sa["xs"], sa["ys"], sa["ring_offsets"],
+        sb["kind"], sb["minx"], sb["maxx"], sb["miny"], sb["maxy"],
+        sb["xs"], sb["ys"], sb["ring_offsets"])
+    rows = df.withColumn("i", inter).select("ekind", "earea", "eerr", "i") \
+             .collect()
+    from spatial4n_spark.kernels.overlay import polygon_area_evenodd
+    for r in rows:
+        i = r["i"]
+        assert i["kind"] == r["ekind"], r
+        if r["eerr"] is not None:
+            assert i["error"] and r["eerr"] in i["error"], i["error"]
+        elif r["ekind"] == 0:
+            assert i["error"] is None
+        else:
+            got = polygon_area_evenodd(np.asarray(i["xs"]),
+                                       np.asarray(i["ys"]),
+                                       i["ring_offsets"])
+            assert got == pytest.approx(r["earea"], abs=1e-9)
+
+
 def test_keep_zero_touch_pairs(spark):
     lrows = [(0, _rect_wkt(0, 0, 10, 10))]
     rrows = [(0, _rect_wkt(10, 0, 20, 10))]  # shares the x=10 edge
