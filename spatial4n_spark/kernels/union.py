@@ -119,6 +119,12 @@ def rings_properly_overlap(ax, ay, bx, by):
     in_b, bnd_b = _ring_parity_and_boundary(bx, by, ax, ay)
     if _deep_inside(bx, by, in_b & ~bnd_b, [(ax, ay)]):
         return True, degen
+    # vertex probes can ALL land on the other boundary while the
+    # interiors still overlap (two squares sharing collinear edge
+    # segments with offset spans): under degenerate contact, fall back
+    # to sub-segment midpoint probes before declaring disjoint.
+    if degen and _degen_interior_overlap([(ax, ay)], [(bx, by)]):
+        return True, True
     return False, False
 
 
@@ -191,7 +197,53 @@ def member_relation(rings_a, rings_b):
         return "a_contains_b", degen
     if contained(opened_a, opened_b):
         return "b_contains_a", degen
+    # degenerate contact with every vertex probe on the other boundary
+    # can hide a real interior overlap (collinear shared edge segments
+    # with offset spans) — probe sub-segment midpoints before calling
+    # the pair touch-only; a hit classifies as a degenerate cross so
+    # the resolver takes the infeasible-union path instead of an
+    # even-odd merge that would XOR the overlap into a phantom hole.
+    if degen and _degen_interior_overlap(opened_a, opened_b):
+        return "cross", True
     return "none", degen
+
+
+def _degen_interior_overlap(opened_a, opened_b) -> bool:
+    """Interior-overlap probe for degenerate-contact pairs: split every
+    edge of one member at all contacts with the other's boundary and
+    test sub-segment MIDPOINTS (deep-inside, boundary-excluded). If any
+    boundary arc of either member runs strictly inside the other, the
+    interiors overlap — complete where vertex probes are blind."""
+    from .pip import _edge_split_ts, _ring_parity_and_boundary
+
+    def soup(rings):
+        xs = np.concatenate([r[0] for r in rings])
+        ys = np.concatenate([r[1] for r in rings])
+        x2 = np.concatenate([np.roll(r[0], -1) for r in rings])
+        y2 = np.concatenate([np.roll(r[1], -1) for r in rings])
+        return xs, ys, x2, y2
+
+    for mine, other in ((opened_a, opened_b), (opened_b, opened_a)):
+        oax, oay, obx, oby = soup(other)
+        for xs, ys in mine:
+            x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+            for k in range(len(xs)):
+                ts = _edge_split_ts(xs[k], ys[k], x2[k], y2[k],
+                                    oax, oay, obx, oby)
+                if len(ts) < 2:
+                    continue
+                tm = (ts[:-1] + ts[1:]) / 2.0
+                mx = xs[k] + tm * (x2[k] - xs[k])
+                my = ys[k] + tm * (y2[k] - ys[k])
+                parity = np.zeros(len(tm), dtype=bool)
+                bnd = np.zeros(len(tm), dtype=bool)
+                for ox, oy in other:
+                    pin, pb = _ring_parity_and_boundary(mx, my, ox, oy)
+                    parity ^= pin
+                    bnd |= pb
+                if _deep_inside(mx, my, parity & ~bnd, other):
+                    return True
+    return False
 
 
 def _edge_crossings(ax, ay, bx, by):

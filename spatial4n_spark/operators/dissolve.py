@@ -1,0 +1,127 @@
+"""Dissolve: per-group geometry union (merge parcels by owner, tracts
+by county — the classic GIS dissolve) as a distributed aggregate.
+
+Engine-added operator. The geometry math is the SAME resolver the WKT
+parser runs on overlapping MULTIPOLYGON members
+(`kernels.wkt._resolve_multi_overlap`, the UnionGeometryCollection
+analog of NtsGeometry.cs:64-94): duplicate drop, containment
+absorption, exact Greiner–Hormann union for transversal crossings,
+plain even-odd merge for touch-only contact, convex-hull degrade for
+degenerate contact when `allow_approx=True`.
+
+Scale shape: ONE shuffle on the dissolve keys (`applyInPandas`), each
+group's members resolved inside its task — dissolve is inherently a
+gather-per-key operation, so per-key vertex volume must fit a task
+(the same contract every GIS engine's dissolve carries). Hot keys are
+an AQE skew concern for the shuffle, not for memory: a group's rings
+are small next to a task's budget until parcel counts reach ~1e6 per
+key; beyond that, pre-dissolve per (key, cover-cell) and re-dissolve
+the per-cell results (documented pattern; exactness unchanged because
+union is associative — cell pieces of one key still meet in round 2).
+
+Output per group: the dissolved shape struct, `n_members`, `exact`
+(False when a degenerate overlap degraded to the hull), `error`
+(non-null instead of a task failure when the group is not exactly
+unionable and `allow_approx=False`).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FLAT_FIELDS = ("kind byte, minx double, maxx double, miny double,"
+                " maxy double, xs array<double>, ys array<double>,"
+                " ring_offsets array<int>, n_members int,"
+                " exact boolean, error string")
+
+
+def _member_record(kind, minx, maxx, miny, maxy, xs, ys, ro):
+    """One input shape -> a parser-style polygon record. Rects become
+    their 4-corner closed ring (dateline-crossing rects: two pages)."""
+    recs = []
+    if kind == 2:
+        spans = ([(minx, 180.0), (-180.0, maxx)] if minx > maxx
+                 else [(minx, maxx)])
+        for x0, x1 in spans:
+            recs.append(dict(
+                kind=7, minx=x0, maxx=x1, miny=miny, maxy=maxy,
+                xs=[x0, x1, x1, x0, x0], ys=[miny, miny, maxy, maxy, miny],
+                ring_offsets=[0, 5]))
+        return recs
+    if kind in (7, 8):
+        return [dict(kind=int(kind), minx=minx, maxx=maxx, miny=miny,
+                     maxy=maxy, xs=list(xs), ys=list(ys),
+                     ring_offsets=(list(ro) if ro is not None
+                                   else [0, len(xs)]))]
+    raise ValueError(f"dissolve supports rect/polygon shapes, got kind "
+                     f"{int(kind)}")
+
+
+def _dissolve_group(members: list, allow_approx: bool) -> dict:
+    from ..kernels.wkt import WktParseError, _resolve_multi_overlap
+    try:
+        merged = _resolve_multi_overlap(members, True, "width180",
+                                        "error", False)
+        return {"rec": merged, "exact": True, "error": None}
+    except WktParseError as e:
+        if not allow_approx:
+            return {"rec": None, "exact": False, "error": str(e)[:200]}
+    merged = _resolve_multi_overlap(members, True, "width180",
+                                    "error", True)
+    return {"rec": merged, "exact": False, "error": None}
+
+
+def dissolve(df: DataFrame, keys: list, shape_col: str = "shape",
+             allow_approx: bool = False) -> DataFrame:
+    """GroupBy `keys` and union each group's rect/polygon shapes into
+    one (multi)polygon shape struct. See module docstring."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        key_vals = {k: pdf[k].iloc[0] for k in keys}
+        members = []
+        err = None
+        for i in range(len(pdf)):
+            s = pdf["__s"].iloc[i]
+            try:
+                members.extend(_member_record(
+                    s["kind"], s["minx"], s["maxx"], s["miny"], s["maxy"],
+                    s["xs"], s["ys"], s["ring_offsets"]))
+            except ValueError as e:
+                err = str(e)
+                break
+        if err is None:
+            res = _dissolve_group(members, allow_approx)
+        else:
+            res = {"rec": None, "exact": False, "error": err}
+        rec = res["rec"]
+        row = dict(key_vals, n_members=len(pdf), exact=res["exact"],
+                   error=res["error"])
+        if rec is None:
+            row.update(kind=0, minx=None, maxx=None, miny=None, maxy=None,
+                       xs=None, ys=None, ring_offsets=None)
+        else:
+            row.update(kind=rec["kind"], minx=rec["minx"], maxx=rec["maxx"],
+                       miny=rec["miny"], maxy=rec["maxy"],
+                       xs=list(rec["xs"]), ys=list(rec["ys"]),
+                       ring_offsets=list(rec["ring_offsets"]))
+        return pd.DataFrame([row])
+
+    key_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
+    out = (df.select(*keys, F.col(shape_col).alias("__s"))
+             .groupBy(*keys)
+             .applyInPandas(run, schema=f"{key_schema}, {_FLAT_FIELDS}"))
+    nul = F.lit(None)
+    shape = F.struct(
+        F.col("kind").alias("kind"),
+        nul.cast("double").alias("x"), nul.cast("double").alias("y"),
+        nul.cast("double").alias("radius"),
+        F.col("minx").alias("minx"), F.col("maxx").alias("maxx"),
+        F.col("miny").alias("miny"), F.col("maxy").alias("maxy"),
+        F.col("xs").alias("xs"), F.col("ys").alias("ys"),
+        F.col("ring_offsets").alias("ring_offsets"),
+        F.col("error").alias("error"))
+    return out.select(*keys, shape.alias(shape_col),
+                      "n_members", "exact", "error")

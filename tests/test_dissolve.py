@@ -1,0 +1,106 @@
+"""operators/dissolve: per-group geometry union vs area/PIP oracles."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark import functions as SF
+from spatial4n_spark.kernels.overlay import polygon_area_evenodd
+from spatial4n_spark.kernels.pip import points_in_polygon
+from spatial4n_spark.operators.dissolve import dissolve
+
+
+def _df(spark, rows):
+    df = spark.createDataFrame(rows, "owner string, wkt string")
+    return (df.withColumn("shape", SF.st_from_wkt(F.col("wkt")))
+              .select("owner", "shape"))
+
+
+def _sq(x0, y0, w):
+    return (f"POLYGON(({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+w},"
+            f" {x0} {y0+w}, {x0} {y0}))")
+
+
+def test_dissolve_union_and_groups(spark):
+    rows = [
+        ("a", _sq(0, 0, 2)), ("a", _sq(1, 1, 2)),     # cross: union area 7
+        ("b", _sq(10, 10, 4)), ("b", _sq(11, 11, 1)),  # contained: area 16
+        ("c", _sq(20, 0, 1)), ("c", _sq(25, 0, 2)),    # disjoint: area 5
+        ("d", _sq(30, 0, 3)),                          # single member
+    ]
+    out = {r["owner"]: r for r in dissolve(_df(spark, rows),
+                                           ["owner"]).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    expected_area = {"a": 7.0, "b": 16.0, "c": 5.0, "d": 9.0}
+    for k, r in out.items():
+        assert r["error"] is None and r["exact"] is True
+        s = r["shape"]
+        got = polygon_area_evenodd(np.asarray(s["xs"]), np.asarray(s["ys"]),
+                                   s["ring_offsets"])
+        assert got == pytest.approx(expected_area[k], abs=1e-9), k
+    # disjoint group keeps two shells
+    assert len(out["c"]["shape"]["ring_offsets"]) == 3
+    assert out["a"]["n_members"] == 2 and out["d"]["n_members"] == 1
+
+
+def test_dissolve_pip_equivalence(spark):
+    """PIP(dissolved) == OR over members, Monte-Carlo (away from
+    boundaries)."""
+    rng = np.random.default_rng(5)
+    rows = [("z", _sq(0, 0, 4)), ("z", _sq(3, 1, 4)), ("z", _sq(2, 3, 3)),
+            ("z", _sq(9, 9, 2))]
+    out = dissolve(_df(spark, rows), ["owner"]).collect()[0]
+    s = out["shape"]
+    assert out["exact"] and out["error"] is None
+    px = rng.uniform(-1, 12, 4000)
+    py = rng.uniform(-1, 12, 4000)
+    got = points_in_polygon(px, py, np.asarray(s["xs"]),
+                            np.asarray(s["ys"]), s["ring_offsets"])
+    # members are axis-parallel squares (parser demotes them to rects):
+    # brute-force OR via bbox containment, excluding boundary-adjacent
+    # sample points (shared edges stay even-odd in touch merges)
+    exp = np.zeros(len(px), dtype=bool)
+    near = np.zeros(len(px), dtype=bool)
+    from spatial4n_spark.kernels.wkt import parse_wkt_batch
+    recs, errs = parse_wkt_batch([w for _, w in rows])
+    for rec in recs:
+        assert rec["kind"] == 2
+        exp |= ((px >= rec["minx"]) & (px <= rec["maxx"])
+                & (py >= rec["miny"]) & (py <= rec["maxy"]))
+        for v in (rec["minx"], rec["maxx"]):
+            near |= np.abs(px - v) < 1e-6
+        for v in (rec["miny"], rec["maxy"]):
+            near |= np.abs(py - v) < 1e-6
+    ok = ~near
+    assert (got[ok] == exp[ok]).all()
+
+
+def test_dissolve_duplicates_and_rects(spark):
+    rows = [("r", "ENVELOPE(0, 10, 5, 0)"), ("r", "ENVELOPE(0, 10, 5, 0)")]
+    out = dissolve(_df(spark, rows), ["owner"]).collect()[0]
+    s = out["shape"]
+    assert out["exact"]
+    got = polygon_area_evenodd(np.asarray(s["xs"]), np.asarray(s["ys"]),
+                               s["ring_offsets"])
+    assert got == pytest.approx(50.0)
+
+
+def test_dissolve_degenerate_error_and_hull(spark):
+    # squares crossing AT a shared vertex-on-edge contact: exact union
+    # infeasible -> error row by default, hull with allow_approx
+    rows = [("g", _sq(0, 0, 2)),
+            ("g", "POLYGON((1 0, 3 0, 3 2, 1 2, 1 0))")]  # shares edge seg
+    strict = dissolve(_df(spark, rows), ["owner"]).collect()[0]
+    assert strict["error"] is not None and strict["shape"]["kind"] == 0
+    approx = dissolve(_df(spark, rows), ["owner"],
+                      allow_approx=True).collect()[0]
+    assert approx["error"] is None and approx["exact"] is False
+    s = approx["shape"]
+    got = polygon_area_evenodd(np.asarray(s["xs"]), np.asarray(s["ys"]),
+                               s["ring_offsets"])
+    assert got == pytest.approx(6.0)  # hull of the two squares = 3x2
+
+
+def test_dissolve_unsupported_kind(spark):
+    rows = [("p", "POINT(1 2)")]
+    out = dissolve(_df(spark, rows), ["owner"]).collect()[0]
+    assert out["error"] is not None and "kind" in out["error"]

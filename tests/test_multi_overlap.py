@@ -207,3 +207,28 @@ def test_duplicate_members_fold_to_one():
     rec3 = parse_shape(holed)
     assert len(rec3["ring_offsets"]) - 1 == 2
     assert _pip(rec3, [2, 5], [2, 5]).tolist() == [True, False]
+
+
+def test_collinear_contact_interior_overlap_detected():
+    """Round-4 resolver fix: two rects sharing collinear edge SEGMENTS
+    while their interiors overlap ([1,2]x[0,2]) — every vertex of each
+    lies on or outside the other's boundary, so the vertex probes are
+    blind; the sub-segment midpoint probe must classify this as a
+    degenerate cross (error by default, hull under allow), NEVER as a
+    touch-only merge whose even-odd XOR would punch a phantom hole."""
+    wkt = ("MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)),"
+           " ((1 0, 3 0, 3 2, 1 2, 1 0)))")
+    with pytest.raises(WktParseError):
+        parse_shape(wkt)
+    rec = parse_shape(wkt, allow_multi_overlap=True)
+    # hull of the pair is [0,3]x[0,2]: overlap interior point must be IN
+    assert _pip(rec, [1.5, 2.5, 0.5, 4.0], [1, 1, 1, 1]).tolist() == \
+        [True, True, True, False]
+
+
+def test_touch_only_members_still_plain_merge():
+    """The midpoint probe must NOT reclassify genuine touch-only
+    contact (shared edge, interiors on opposite sides)."""
+    rec = parse_shape(EDGE_SHARE)
+    assert rec["kind"] == 8 and len(rec["ring_offsets"]) == 3
+    assert _pip(rec, [5, 5], [3, -3]).tolist() == [True, True]
