@@ -1274,6 +1274,16 @@ def st_overlay_measure(akind: pd.Series, aminx: pd.Series,
     return pd.DataFrame({"inter": inter, "a_area": a_area, "b_area": b_area})
 
 
+def st_difference_area(akind, aminx, amaxx, aminy, amaxy, axs, ays, aro,
+                       bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro):
+    """Planar area (deg^2) of A \\ B — pure composition, no new kernel:
+    area(A) - area(A ∩ B), both terms from the fused overlay measure
+    (ONE Arrow exchange). Exact wherever the measure is."""
+    m = st_overlay_measure(akind, aminx, amaxx, aminy, amaxy, axs, ays, aro,
+                           bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro)
+    return m["a_area"] - m["inter"]
+
+
 def rect_intersection_area_cols(aminx, amaxx, aminy, amaxy,
                                 bminx, bmaxx, bminy, bmaxy,
                                 geo: bool = True):

@@ -314,3 +314,23 @@ def test_keep_zero_touch_pairs(spark):
     assert drop.count() == 0
     rows = keep.collect()
     assert len(rows) == 1 and rows[0]["inter_area_deg2"] == 0.0
+
+
+def test_st_difference_area(spark):
+    rows = [("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))", 3.0),
+            ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "POLYGON((10 0, 12 0, 12 2, 10 2, 10 0))", 4.0),
+            ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "POLYGON((-1 -1, 5 -1, 5 5, -1 5, -1 -1))", 0.0)]
+    df = spark.createDataFrame(rows, "awkt string, bwkt string, exp double")
+    df = df.select("exp", SF.st_from_wkt(F.col("awkt")).alias("a"),
+                   SF.st_from_wkt(F.col("bwkt")).alias("b"))
+    sa, sb = F.col("a"), F.col("b")
+    out = df.withColumn("d", SF.st_difference_area(
+        sa["kind"], sa["minx"], sa["maxx"], sa["miny"], sa["maxy"],
+        sa["xs"], sa["ys"], sa["ring_offsets"],
+        sb["kind"], sb["minx"], sb["maxx"], sb["miny"], sb["maxy"],
+        sb["xs"], sb["ys"], sb["ring_offsets"])).collect()
+    for r in out:
+        assert r["d"] == pytest.approx(r["exp"], abs=1e-9)
