@@ -113,6 +113,59 @@ def dissolve(df: DataFrame, keys: list, shape_col: str = "shape",
     out = (df.select(*keys, F.col(shape_col).alias("__s"))
              .groupBy(*keys)
              .applyInPandas(run, schema=f"{key_schema}, {_FLAT_FIELDS}"))
+    return _repack(out, keys, shape_col)
+
+
+def dissolve_two_level(df: DataFrame, keys: list, shape_col: str = "shape",
+                       precision: int = 3) -> DataFrame:
+    """Dissolve for HOT keys (1e6+ members): pre-dissolve per
+    (key, coarse cell) so no single task gathers a whole key's rings,
+    then re-dissolve the per-cell partials per key. Exact because union
+    is associative — pieces of one key that span cells still meet in
+    round 2. Each shape is assigned ONE cell (its bbox min corner at
+    `precision`), so partials partition the members; shuffle 1 is keyed
+    (key, cell) — a hot key spreads over its spatial footprint — and
+    shuffle 2 carries one already-merged row per touched cell.
+
+    Strict mode only (`allow_approx=False`): the hull degrade is not
+    associative, so approximate groups must go through single-level
+    `dissolve(allow_approx=True)`. Groups that are not exactly
+    unionable surface `error` here the same way."""
+    from .. import functions as SF
+
+    cell = SF.st_cell_code_col(f"`{shape_col}`.`miny`",
+                               f"`{shape_col}`.`minx`", precision)
+    stage1 = dissolve(df.withColumn("__cell", cell), keys + ["__cell"],
+                      shape_col, allow_approx=False)
+    bad1 = stage1.where(F.col("error").isNotNull())
+    ok1 = stage1.where(F.col("error").isNull())
+    stage2 = dissolve(ok1.select(*keys, shape_col), keys, shape_col,
+                      allow_approx=False)
+    # a key with any failed cell partial is reported failed as a whole
+    failed = (bad1.groupBy(*keys)
+                  .agg(F.first("error").alias("__err"),
+                       F.sum("n_members").alias("__nbad")))
+    joined = stage2.join(failed, keys, "left")
+    nul = F.lit(None)
+    empty_shape = F.struct(
+        F.lit(0).cast("byte").alias("kind"),
+        *[nul.cast("double").alias(c) for c in
+          ("x", "y", "radius", "minx", "maxx", "miny", "maxy")],
+        nul.cast("array<double>").alias("xs"),
+        nul.cast("array<double>").alias("ys"),
+        nul.cast("array<int>").alias("ring_offsets"),
+        F.col("__err").alias("error"))
+    has_err = F.col("__err").isNotNull()
+    return (joined.select(
+        *keys,
+        F.when(has_err, empty_shape).otherwise(F.col(shape_col))
+         .alias(shape_col),
+        "n_members", (~has_err & F.col("exact")).alias("exact"),
+        F.when(has_err, F.col("__err")).otherwise(F.col("error"))
+         .alias("error")))
+
+
+def _repack(out: DataFrame, keys: list, shape_col: str) -> DataFrame:
     nul = F.lit(None)
     shape = F.struct(
         F.col("kind").alias("kind"),
@@ -125,3 +178,4 @@ def dissolve(df: DataFrame, keys: list, shape_col: str = "shape",
         F.col("error").alias("error"))
     return out.select(*keys, shape.alias(shape_col),
                       "n_members", "exact", "error")
+

@@ -104,3 +104,43 @@ def test_dissolve_unsupported_kind(spark):
     rows = [("p", "POINT(1 2)")]
     out = dissolve(_df(spark, rows), ["owner"]).collect()[0]
     assert out["error"] is not None and "kind" in out["error"]
+
+
+def test_two_level_equals_single_level(spark):
+    """dissolve_two_level == dissolve on a multi-key layer whose groups
+    span many coarse cells (exactness via union associativity)."""
+    from spatial4n_spark.operators.dissolve import dissolve_two_level
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(60):
+        owner = f"o{i % 5}"
+        x0 = float(rng.uniform(-160, 150))
+        y0 = float(rng.uniform(-70, 60))
+        w = float(rng.uniform(1, 10))
+        rows.append((owner, _sq(round(x0, 3), round(y0, 3), round(w, 3))))
+    df = _df(spark, rows)
+    one = {r["owner"]: r for r in dissolve(df, ["owner"]).collect()}
+    two = {r["owner"]: r for r in
+           dissolve_two_level(df, ["owner"], precision=2).collect()}
+    assert set(one) == set(two)
+    for k in one:
+        assert one[k]["error"] is None and two[k]["error"] is None
+        a1 = polygon_area_evenodd(np.asarray(one[k]["shape"]["xs"]),
+                                  np.asarray(one[k]["shape"]["ys"]),
+                                  one[k]["shape"]["ring_offsets"])
+        a2 = polygon_area_evenodd(np.asarray(two[k]["shape"]["xs"]),
+                                  np.asarray(two[k]["shape"]["ys"]),
+                                  two[k]["shape"]["ring_offsets"])
+        assert a1 == pytest.approx(a2, abs=1e-9), k
+
+
+def test_two_level_reports_degenerate_keys(spark):
+    from spatial4n_spark.operators.dissolve import dissolve_two_level
+    rows = [("g", _sq(0, 0, 2)),
+            ("g", "POLYGON((1 0, 3 0, 3 2, 1 2, 1 0))"),
+            ("h", _sq(50, 0, 2))]
+    out = {r["owner"]: r for r in
+           dissolve_two_level(_df(spark, rows), ["owner"],
+                              precision=2).collect()}
+    assert out["g"]["error"] is not None and out["g"]["shape"]["kind"] == 0
+    assert out["h"]["error"] is None and out["h"]["exact"]
