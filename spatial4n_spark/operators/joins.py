@@ -665,6 +665,8 @@ def _shape_shape_join_closure(left: DataFrame, right: DataFrame,
               .drop("__cell", "__lli0", "__lti0", "__rli0", "__rti0",
                     "__rminx", "__rmaxx", "__rminy", "__rmaxy"))
 
+    if predicate == "bbox":
+        return gated
     rel = relate_udf(ls["xs"], ls["ys"], ls["ring_offsets"], F.col(right_id))
     if predicate == "all":
         return gated.withColumn("relation", rel.cast("int"))
@@ -682,6 +684,8 @@ def _shape_shape_join_closure(left: DataFrame, right: DataFrame,
 def _apply_shape_predicate(gated: DataFrame, ls, rs, predicate: str) -> DataFrame:
     """Exact polygon-polygon refine + predicate filter shared by the
     fixed-level and adaptive two-layer joins."""
+    if predicate == "bbox":
+        return gated
     rel = SF.st_relate_polygon_polygon(
         ls["xs"], ls["ys"], ls["ring_offsets"],
         rs["xs"], rs["ys"], rs["ring_offsets"])
