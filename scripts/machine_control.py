@@ -38,16 +38,21 @@ def worker() -> None:
 
 
 def run_level(n: int) -> float:
+    # Aggregate = SUM of per-worker rates over each worker's OWN timed
+    # window. The old post-spawn wall clock excluded time in which
+    # early workers were already streaming, inflating high-process
+    # levels and with them the reported scaling ceiling (code-review
+    # r4); a pre-spawn clock would instead bill fork cost to the
+    # compute rate. Per-worker self-timing has neither bias.
     procs = [subprocess.Popen([sys.executable, os.path.abspath(__file__),
                                "--worker"], stdout=subprocess.PIPE, text=True)
              for _ in range(n)]
-    total_ops = 0
-    t0 = time.time()
+    rate = 0.0
     for p in procs:
         out, _ = p.communicate()
-        total_ops += json.loads(out.strip().splitlines()[-1])["ops"]
-    wall = time.time() - t0
-    return total_ops / wall / 1e6
+        rec = json.loads(out.strip().splitlines()[-1])
+        rate += rec["ops"] / rec["sec"]
+    return rate / 1e6
 
 
 def main() -> None:

@@ -83,6 +83,13 @@ def st_from_wkt(texts, dateline_rule: str = "width180",
     """
     if parser not in ("default", "ntsReader"):
         raise ValueError(f"unknown WKT parser {parser!r}")
+    if norm_wrap_longitude and parser != "ntsReader":
+        # the per-vertex lon wrap is the alt reader's coordinate filter
+        # (NtsWKTReaderShapeParser.cs:108-124); the default grammar has
+        # no analog — silently ignoring the flag would hand back
+        # unwrapped coordinates the caller asked to normalize
+        raise ValueError(
+            "norm_wrap_longitude requires parser='ntsReader'")
     key = (dateline_rule, validation_rule, geo, precision_model,
            precision_scale, allow_multi_overlap, parser,
            norm_wrap_longitude)

@@ -76,20 +76,15 @@ def buffer_rect(minx, maxx, miny, maxy, dist, geo: bool = True):
 ARC_STEP = np.pi / 16.0  # 8 segments per quadrant, JTS default fidelity
 
 
+# ring primitives shared with the union kernel — single source so a
+# robustness fix lands once (code-review r4)
+from .union import _ensure_ccw, _signed_area2  # noqa: E402
+
+
 def _ring_open(xs, ys):
     """Drop a repeated closing vertex."""
     if len(xs) >= 2 and xs[0] == xs[-1] and ys[0] == ys[-1]:
         return xs[:-1], ys[:-1]
-    return xs, ys
-
-
-def _signed_area2(xs, ys) -> float:
-    return float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
-
-
-def _ensure_ccw(xs, ys):
-    if _signed_area2(xs, ys) < 0.0:
-        return xs[::-1].copy(), ys[::-1].copy()
     return xs, ys
 
 

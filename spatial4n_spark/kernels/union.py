@@ -193,9 +193,20 @@ def member_relation(rings_a, rings_b):
             if _deep_inside(xs, ys, parity & ~bnd, other):
                 return True
         return False
-    if contained(opened_b, opened_a):
+    b_in_a = contained(opened_b, opened_a)
+    a_in_b = contained(opened_a, opened_b)
+    if b_in_a and a_in_b:
+        # mutual vertex-containment with no boundary crossings: one
+        # member covers the other's HOLE (annulus + hole-filling
+        # square — the hole ring's vertices sit inside the filler,
+        # the filler's vertices sit in the annulus interior). Neither
+        # union-by-drop is correct; classify as a degenerate cross so
+        # the resolver takes the infeasible-union path (error / hull)
+        # instead of silently keeping a phantom hole.
+        return "cross", True
+    if b_in_a:
         return "a_contains_b", degen
-    if contained(opened_a, opened_b):
+    if a_in_b:
         return "b_contains_a", degen
     # degenerate contact with every vertex probe on the other boundary
     # can hide a real interior overlap (collinear shared edge segments

@@ -642,6 +642,12 @@ def _resolve_multi_overlap(members, geo, dateline_rule, validation_rule,
     """
     from .union import member_relation, union_many
 
+    if validation_rule == "none":
+        # merged as-is (even-odd artifact accepted) — hoisted above the
+        # O(n^2) pairwise relate, whose verdicts this rule discards
+        # (code-review r4)
+        return _merge_polygon_members(members)
+
     rings_per = [_member_rings(m) for m in members]
     n = len(members)
     dropped = [False] * n
@@ -682,8 +688,6 @@ def _resolve_multi_overlap(members, geo, dateline_rule, validation_rule,
                 crossing[i] = crossing[j] = True
                 any_cross = True
     keep = [k for k in range(n) if not dropped[k]]
-    if validation_rule == "none":
-        return _merge_polygon_members(members)
     if not any_cross:
         # containment drops (if any) already realize the union
         return _merge_polygon_members([members[k] for k in keep])

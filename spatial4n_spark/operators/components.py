@@ -62,8 +62,21 @@ def connected_components(edges: DataFrame, src: str = "src",
         return spark.read.parquet(path)
 
     def _drop_stage(name: str) -> None:
-        if stage_dir is not None:
-            shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
+        # Hadoop FS delete, not a driver-local rmtree: stage_dir is
+        # documented for shared filesystems (hdfs://, s3a://) where a
+        # local rmtree would silently no-op and leak every round's
+        # labels parquet (code-review r4).
+        if stage_dir is None:
+            return
+        path = f"{stage_dir}/{name}"
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
 
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the symmetrized edge list ONCE: it is re-joined every

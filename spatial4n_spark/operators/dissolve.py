@@ -141,11 +141,17 @@ def dissolve_two_level(df: DataFrame, keys: list, shape_col: str = "shape",
     ok1 = stage1.where(F.col("error").isNull())
     stage2 = dissolve(ok1.select(*keys, shape_col), keys, shape_col,
                       allow_approx=False)
-    # a key with any failed cell partial is reported failed as a whole
+    # true ORIGINAL member count per key (stage2's own n_members would
+    # count cell PARTIALS — a different contract than single-level)
+    totals = stage1.groupBy(*keys).agg(
+        F.sum("n_members").cast("int").alias("__total"))
+    # a key with any failed cell partial is reported failed as a whole;
+    # FULL join: a key whose EVERY cell failed has no stage2 row at all
+    # and must still surface (a left join would silently drop it)
     failed = (bad1.groupBy(*keys)
-                  .agg(F.first("error").alias("__err"),
-                       F.sum("n_members").alias("__nbad")))
-    joined = stage2.join(failed, keys, "left")
+                  .agg(F.first("error").alias("__err")))
+    joined = (stage2.join(failed, keys, "full")
+                    .join(totals, keys, "inner"))
     nul = F.lit(None)
     empty_shape = F.struct(
         F.lit(0).cast("byte").alias("kind"),
@@ -160,7 +166,9 @@ def dissolve_two_level(df: DataFrame, keys: list, shape_col: str = "shape",
         *keys,
         F.when(has_err, empty_shape).otherwise(F.col(shape_col))
          .alias(shape_col),
-        "n_members", (~has_err & F.col("exact")).alias("exact"),
+        F.col("__total").alias("n_members"),
+        (~has_err & F.coalesce(F.col("exact"), F.lit(False)))
+        .alias("exact"),
         F.when(has_err, F.col("__err")).otherwise(F.col("error"))
          .alias("error")))
 

@@ -144,3 +144,34 @@ def test_two_level_reports_degenerate_keys(spark):
                               precision=2).collect()}
     assert out["g"]["error"] is not None and out["g"]["shape"]["kind"] == 0
     assert out["h"]["error"] is None and out["h"]["exact"]
+
+
+def test_two_level_all_failed_cells_key_not_dropped(spark):
+    """Degenerate members whose bbox min corners share ONE coarse cell:
+    the key has zero ok partials and no stage-2 row — it must still
+    surface as an error row (a left join silently dropped it)."""
+    from spatial4n_spark.operators.dissolve import dissolve_two_level
+    rows = [("g", _sq(0.5, 0.5, 2)),
+            ("g", "POLYGON((1.5 0.5, 3.5 0.5, 3.5 2.5, 1.5 2.5, 1.5 0.5))"),
+            ("h", _sq(50, 0, 2))]
+    out = {r["owner"]: r for r in
+           dissolve_two_level(_df(spark, rows), ["owner"],
+                              precision=2).collect()}
+    assert set(out) == {"g", "h"}
+    assert out["g"]["error"] is not None and out["g"]["shape"]["kind"] == 0
+    assert out["g"]["exact"] is False
+    assert out["h"]["error"] is None
+
+
+def test_two_level_n_members_counts_original_rows(spark):
+    """n_members keeps the single-level contract (input rows per key),
+    not the number of cell partials."""
+    from spatial4n_spark.operators.dissolve import dissolve_two_level
+    rng = np.random.default_rng(3)
+    rows = [("k", _sq(round(float(rng.uniform(-150, 140)), 2),
+                      round(float(rng.uniform(-60, 50)), 2), 2.0))
+            for _ in range(12)]
+    one = dissolve(_df(spark, rows), ["owner"]).collect()[0]
+    two = dissolve_two_level(_df(spark, rows), ["owner"],
+                             precision=2).collect()[0]
+    assert one["n_members"] == 12 and two["n_members"] == 12

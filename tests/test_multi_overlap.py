@@ -232,3 +232,18 @@ def test_touch_only_members_still_plain_merge():
     rec = parse_shape(EDGE_SHARE)
     assert rec["kind"] == 8 and len(rec["ring_offsets"]) == 3
     assert _pip(rec, [5, 5], [3, -3]).tolist() == [True, True]
+
+
+def test_hole_filling_member_not_dropped_as_contained():
+    """Code-review r4: a member that exactly covers another member's
+    HOLE has all its vertices at even-odd parity 1 and no boundary
+    crossings — the old containment probe dropped it, silently keeping
+    a phantom hole (area 96, PIP(5,5) False). Mutual vertex containment
+    must classify as an infeasible union: error by default, hull under
+    allowMultiOverlap, and the overlap interior must be INSIDE."""
+    wkt = ("MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0),"
+           "(4 4,6 4,6 6,4 6,4 4)), ((3 3,7 3,7 7,3 7,3 3)))")
+    with pytest.raises(WktParseError):
+        parse_shape(wkt)
+    rec = parse_shape(wkt, allow_multi_overlap=True)
+    assert _pip(rec, [5.0], [5.0])[0]  # the filled hole is inside now
