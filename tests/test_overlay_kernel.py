@@ -175,3 +175,13 @@ class TestMetamorphic:
             assert ab == pytest.approx(ba, abs=1e-9)
             assert ab <= min(polygon_area_evenodd(ax, ay, None),
                              polygon_area_evenodd(bx, by, None)) + 1e-9
+
+
+def test_hole_filling_square_measure():
+    """The union kernel cannot exactly union an annulus with a member
+    covering its hole (mutual vertex containment, r4 review); the area
+    kernel measures the same geometry exactly: 16 - 4 = 12."""
+    xs = np.array([0., 10, 10, 0, 4, 6, 6, 4])
+    ys = np.array([0., 0, 10, 10, 4, 4, 6, 6])
+    b = (np.array([3., 7, 7, 3]), np.array([3., 3, 7, 7]))
+    assert intersection_area(xs, ys, [0, 4, 8], *b, None) == pytest.approx(12.0)
