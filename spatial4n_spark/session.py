@@ -63,6 +63,12 @@ def get_spark(app: str = "spatial4n_spark", cpus: int | None = None,
         # On a 100TB table either size yields tens of thousands of
         # tasks; locally the smaller split is what keeps waves even.
         .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # wave quantization floor: small inputs (the 255MB scaling-
+        # bench table) otherwise coalesce to ~27 splits, a 1.7-wave
+        # read at 16 cores whose idle tail alone caps 4->16 efficiency
+        # at ~0.84 before any hardware effect. 4 waves per core keeps
+        # the tail ≤ 1/4 wave; on big tables maxPartitionBytes rules.
+        .config("spark.sql.files.minPartitionNum", str(4 * cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
