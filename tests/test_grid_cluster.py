@@ -127,3 +127,32 @@ def test_no_python_stage(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in p, p[:1200]
+
+
+def test_corridor_paths_agree_and_converge(spark):
+    """Code-review r4 repro: a 40-cell contiguous corridor. The local
+    union-find path handles any diameter in one pass; the distributed
+    path must converge too (max_iter >= diameter) and agree."""
+    # one point per lon cell along a strip: cell width at PREC 3 is
+    # 360/LON_N deg
+    w = 360.0 / LON_N
+    xs = [-170.0 + i * w for i in range(40)]
+    ys = [10.0] * 40
+    local = _run(spark, xs, ys, min_count=1)
+    exp = _brute(xs, ys, min_count=1)
+    _assert_same_partition(local, exp, len(xs))
+    assert len({v for v in local.values()}) == 1  # single corridor
+    # distributed CC path (cap 0 forces it)
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "pid int, x double, y double")
+    dist = {r["pid"]: r["cluster_id"]
+            for r in grid_cluster(df, "x", "y", PREC, 1,
+                                  local_cc_cap=0, max_iter=64).collect()}
+    assert dist == local
+
+
+def test_out_col_collision_raises(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0, 7)],
+                               "pid int, x double, y double, cluster_id int")
+    with pytest.raises(ValueError):
+        grid_cluster(df, "x", "y", PREC, 1)
