@@ -37,7 +37,7 @@ def main() -> None:
     from spatial4n_spark import contract
     from spatial4n_spark.operators.joins import point_in_shape_join, with_point_cell
     from spatial4n_spark.plans.strategy import plan_point_shape_join
-    from spatial4n_spark.session import get_spark
+    from spatial4n_spark.session import clear_cached_state, get_spark
     from spatial4n_spark.sources.docs import (extract_geo_spans,
                                               extract_point_spans,
                                               generate_docs)
@@ -51,6 +51,11 @@ def main() -> None:
         t0 = time.time()
         n = fn()
         timings[name] = round(time.time() - t0, 3)
+        # session hygiene BETWEEN queries (untimed): sweep checkpoint /
+        # cache blocks so each query measures its own plan, not residue
+        # from the 25 queries before it (multimodal_features degraded
+        # 2-8x in-suite before this — VERDICT r04 "What's wrong" #1)
+        clear_cached_state(spark)
         return n
 
     # --- flagship: docs -> WKT parse -> tile assign -> PIP join (docs/sec) ---
@@ -87,6 +92,7 @@ def main() -> None:
     t0 = time.time()
     flagship()
     flagship_best = min(flagship_sec, time.time() - t0)
+    clear_cached_state(spark)
 
     # --- headline contract queries at sf_dir ---
     headline = [

@@ -37,6 +37,35 @@ def package_zip() -> str:
     return out
 
 
+def clear_cached_state(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD (localCheckpoint blocks included)
+    and clear the table cache. Returns the number of RDDs released.
+
+    Why this exists: iterative operators (knn escalation rungs, CC
+    label rounds, the multimodal decode materialization) use eager
+    ``localCheckpoint`` — correct within a query, but the blocks stay
+    pinned in the block manager until the RDD object is GC'd on the
+    driver. In a long session running many queries back-to-back that
+    residue accumulates and degrades later Python-worker stages
+    (measured: `multimodal_features` 1.6-3.4 s fresh vs 8-16 s after
+    25+ queries in the same session — BENCH.md round 5). Sweeping
+    between queries restores fresh-session behavior. Safe whenever no
+    checkpointed frame from a PREVIOUS query is re-used (the engine's
+    queries are self-contained); a truncated-lineage RDD that is
+    unpersisted cannot be recomputed, so don't call this mid-query.
+    """
+    import gc
+
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(False)
+        n += 1
+    gc.collect()  # drop driver-side refs so the ContextCleaner can run
+    return n
+
+
 def get_spark(app: str = "spatial4n_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:
