@@ -129,8 +129,14 @@ def dissolve_two_level(df: DataFrame, keys: list, shape_col: str = "shape",
 
     Strict mode only (`allow_approx=False`): the hull degrade is not
     associative, so approximate groups must go through single-level
-    `dissolve(allow_approx=True)`. Groups that are not exactly
-    unionable surface `error` here the same way."""
+    `dissolve(allow_approx=True)`. Non-unionable groups surface
+    `error` rather than raising — but the two-level error SET is a
+    superset of single-level's: stage-1 cell partials can be holed or
+    multipart unions whose stage-2 crossings are GH-infeasible, so
+    two-level may reject (fail-safe, never wrong) some groups that
+    single-level dissolves exactly. Callers wanting maximum coverage
+    should re-run keys that error here through single-level
+    `dissolve` (bounded by the per-key-gather contract)."""
     from .. import functions as SF
 
     cell = SF.st_cell_code_col(f"`{shape_col}`.`miny`",

@@ -54,12 +54,23 @@ def overlay_intersection_join(left: DataFrame, right: DataFrame,
     """
     from .. import functions as SF
 
+    # Fail loudly on inputs the overlay cannot measure (code-review
+    # r4): non-area kinds (circle/collection/point/line/empty) would
+    # otherwise null out of the measure and be silently dropped by the
+    # area > 0 filter — indistinguishable from disjoint — and a
+    # dateline-crossing rect (minx > maxx) yields no cover cells in
+    # the candidate stage, silently vanishing from the result. Both
+    # now raise at run time, before the join (guard is fused into the
+    # consumed kind field, so Catalyst cannot prune it).
+    left = _validate_overlay_shapes(left, left_shape)
+    right = _validate_overlay_shapes(right, right_shape)
     if shape_kinds != (2, 2):
         # the candidate join's exact refine is the polygon-polygon
         # kernel: give kind-2 rects their 4-corner ring arrays (pure
         # Column, stays in codegen) so mixed rect/polygon layers flow
         # through unchanged. Like every two-layer join input, bboxes
-        # are assumed page-split (non-dateline-crossing).
+        # are assumed page-split (non-dateline-crossing — enforced by
+        # the validation above).
         left = _with_rect_rings(left, left_shape)
         right = _with_rect_rings(right, right_shape)
     # keep_zero=False: the area > 0 filter below subsumes the exact
@@ -157,34 +168,62 @@ def area_interpolate(source: DataFrame, target: DataFrame,
     return pairs.groupBy(target_id).agg(*aggs)
 
 
-def _with_rect_rings(df: DataFrame, col: str) -> DataFrame:
-    """Fill xs/ys/ring_offsets for kind-2 rects (4-corner ring; a
-    dateline-crossing rect gets its two ±180 pages) so the polygon
-    relate/area kernels can consume rect rows. Pure Column rebuild of
-    the shape struct — no Python stage."""
+def _validate_overlay_shapes(df: DataFrame, col: str) -> DataFrame:
+    """Runtime input guard: raise on shape kinds the overlay measure
+    cannot produce an area for (anything but rect/polygon/multipolygon)
+    and on dateline-crossing rects (minx > maxx), which the cell-cover
+    candidate stage would silently exclude. The guard is folded into
+    the struct's `kind` field — a column every downstream stage
+    consumes — so column pruning cannot elide it; rows that pass are
+    bit-identical to the input. Pure Column, no Python stage.
+
+    Callers with crossing rects should page-split them into two
+    ±180-bounded rows first (`kernels/wkt.py` page convention), which
+    makes each page a first-class overlay participant."""
     s = F.col(col)
-    crossing = s["minx"] > s["maxx"]
+    bad_kind = ~s["kind"].isin(2, 7, 8)
+    crossing = (s["kind"] == 2) & (s["minx"] > s["maxx"])
+    guarded_kind = (
+        F.when(bad_kind, F.raise_error(F.concat(
+            F.lit("overlay supports rect/polygon shapes, got kind "),
+            s["kind"].cast("string"))))
+         .when(crossing, F.raise_error(F.concat(
+            F.lit("overlay requires page-split rects; got dateline-"
+                  "crossing rect minx="), s["minx"].cast("string"),
+            F.lit(" > maxx="), s["maxx"].cast("string"))))
+         .otherwise(s["kind"]).alias("kind"))
+    new = F.struct(
+        guarded_kind, s["x"].alias("x"), s["y"].alias("y"),
+        s["radius"].alias("radius"),
+        s["minx"].alias("minx"), s["maxx"].alias("maxx"),
+        s["miny"].alias("miny"), s["maxy"].alias("maxy"),
+        s["xs"].alias("xs"), s["ys"].alias("ys"),
+        s["ring_offsets"].alias("ring_offsets"),
+        s["error"].alias("error"))
+    return df.withColumn(col, new)
+
+
+def _with_rect_rings(df: DataFrame, col: str) -> DataFrame:
+    """Fill xs/ys/ring_offsets for kind-2 rects (4-corner ring) so the
+    polygon relate/area kernels can consume rect rows. Pure Column
+    rebuild of the shape struct — no Python stage. Dateline-crossing
+    rects never reach here (`_validate_overlay_shapes` raises first);
+    page-split pages are plain rects."""
+    s = F.col(col)
     xs_plain = F.array(s["minx"], s["maxx"], s["maxx"], s["minx"])
     ys_plain = F.array(s["miny"], s["miny"], s["maxy"], s["maxy"])
-    xs_cross = F.array(s["minx"], F.lit(180.0), F.lit(180.0), s["minx"],
-                       F.lit(-180.0), s["maxx"], s["maxx"], F.lit(-180.0))
-    ys_cross = F.array(s["miny"], s["miny"], s["maxy"], s["maxy"],
-                       s["miny"], s["miny"], s["maxy"], s["maxy"])
     lit_i = lambda v: F.lit(v).cast("int")  # noqa: E731
     ro_plain = F.array(lit_i(0), lit_i(4))
-    ro_cross = F.array(lit_i(0), lit_i(4), lit_i(8))
     is_rect = s["kind"] == 2
     new = F.struct(
         s["kind"].alias("kind"), s["x"].alias("x"), s["y"].alias("y"),
         s["radius"].alias("radius"),
         s["minx"].alias("minx"), s["maxx"].alias("maxx"),
         s["miny"].alias("miny"), s["maxy"].alias("maxy"),
-        F.when(is_rect, F.when(crossing, xs_cross).otherwise(xs_plain))
-         .otherwise(s["xs"]).alias("xs"),
-        F.when(is_rect, F.when(crossing, ys_cross).otherwise(ys_plain))
-         .otherwise(s["ys"]).alias("ys"),
-        F.when(is_rect, F.when(crossing, ro_cross).otherwise(ro_plain))
-         .otherwise(s["ring_offsets"]).alias("ring_offsets"),
+        F.when(is_rect, xs_plain).otherwise(s["xs"]).alias("xs"),
+        F.when(is_rect, ys_plain).otherwise(s["ys"]).alias("ys"),
+        F.when(is_rect, ro_plain).otherwise(s["ring_offsets"])
+         .alias("ring_offsets"),
         s["error"].alias("error"))
     return df.withColumn(col, new)
 

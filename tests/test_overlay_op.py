@@ -334,3 +334,32 @@ def test_st_difference_area(spark):
         sb["xs"], sb["ys"], sb["ring_offsets"])).collect()
     for r in out:
         assert r["d"] == pytest.approx(r["exp"], abs=1e-9)
+
+
+def test_unsupported_and_crossing_inputs_raise(spark):
+    """code-review r4: non-area kinds (circle etc.) used to null out of
+    the measure and drop under the area>0 filter — indistinguishable
+    from disjoint — and dateline-crossing rects got no cover cells and
+    vanished from the candidate join. Both now raise up front."""
+    right = _layer(spark, [(0, _rect_wkt(0, 0, 20, 20))], "r")
+
+    left_circle = _layer(spark, [(0, "BUFFER(POINT(5 5), 3)")], "l")
+    with pytest.raises(Exception, match="got kind 3"):
+        overlay_intersection_join(left_circle, right,
+                                  precision=2).collect()
+
+    # ENVELOPE(170, -160, ...) parses to a crossing rect (minx > maxx)
+    left_cross = _layer(spark, [(0, _rect_wkt(170, 0, -160, 20))], "l")
+    with pytest.raises(Exception, match="page-split"):
+        overlay_intersection_join(left_cross, right,
+                                  precision=2).collect()
+
+    # the declared all-rect fast path guards crossing rects too
+    with pytest.raises(Exception, match="page-split"):
+        overlay_intersection_join(left_cross, right, precision=2,
+                                  shape_kinds=(2, 2)).collect()
+
+    # keep_zero=True (relate-refine path) is guarded the same way
+    with pytest.raises(Exception, match="got kind 3"):
+        overlay_intersection_join(left_circle, right, precision=2,
+                                  keep_zero=True).collect()
