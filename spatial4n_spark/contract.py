@@ -211,9 +211,10 @@ def _lat_idx_sql(y, bits):
     return _axis_idx_sql(y, -90.0, 180.0, bits)
 
 
-def _interleave_sql(lon_idx, lat_idx, precision):
-    """Build the geohash string from integer cell indices in SQL —
-    mirrors kernels.geohash.indices_to_hash bit-for-bit."""
+def _morton_int_sql(lon_idx, lat_idx, precision):
+    """Int64 geohash cell code from integer cell indices in SQL —
+    mirrors functions.st_morton_col / kernels.geohash.cell_code
+    bit-for-bit (lon takes the MSB, interleaved lon-first)."""
     nbits = precision * 5
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
@@ -227,7 +228,14 @@ def _interleave_sql(lon_idx, lat_idx, precision):
         else:
             ti -= 1
             terms.append(f"((({lat_idx}) >> {ti}) & 1) * {1 << pos}")
-    code = "(" + " + ".join(terms) + ")"
+    return "(" + " + ".join(terms) + ")"
+
+
+def _interleave_sql(lon_idx, lat_idx, precision):
+    """Build the geohash string from integer cell indices in SQL —
+    mirrors kernels.geohash.indices_to_hash bit-for-bit."""
+    nbits = precision * 5
+    code = _morton_int_sql(lon_idx, lat_idx, precision)
     chars = []
     for c in range(precision):
         shift = nbits - 5 * (c + 1)
@@ -493,23 +501,72 @@ FROM idx
 
 
 def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-parent-cell counts: groupBy on the precision-2 prefix (the
-    hierarchical rollup geohash makes free)."""
+    """Per-parent-cell counts (groupBy on the precision-2 prefix — the
+    hierarchical rollup geohash makes free), wide-merged with the
+    grid-density hotspot clustering family (round 5: driver-verifies
+    operators/cluster.grid_cluster against a recursive-CTE oracle):
+    per precision-2 cell, the density-cluster label (min dense-cell
+    code of the 8-connected component, NULL = sparse/noise) and the
+    count of distinct labels inside the cell (1 dense / 0 sparse —
+    proves every point in a cell got the SAME label)."""
     from . import functions as SF
+    from .operators.cluster import grid_cluster
     pts = customer_points(spark, sf_dir)
-    return (pts.withColumn("cell", SF.st_cell(F.col("y"), F.col("x"), 5))
+    roll = (pts.withColumn("cell", SF.st_cell(F.col("y"), F.col("x"), 5))
                .groupBy(F.substring("cell", 1, 2).alias("cell2"))
                .agg(F.count("*").alias("cnt")))
+    lab = grid_cluster(pts, "x", "y", precision=2,
+                       min_count=_GC_MIN_COUNT)
+    lab2 = (lab.withColumn("cell2", SF.st_cell(F.col("y"), F.col("x"), 2))
+               .groupBy("cell2")
+               .agg(F.min("cluster_id").alias("cluster_id"),
+                    F.countDistinct("cluster_id").cast("int")
+                     .alias("n_labels")))
+    return roll.join(lab2, "cell2")
 
+
+_GC_MIN_COUNT = 2
 
 ORACLE_ROLLUP = f"""
-WITH {_CTE_POINTS},
+WITH RECURSIVE {_CTE_POINTS},
 idx AS (
   SELECT {_lon_idx_sql('x', 13)} AS li, {_lat_idx_sql('y', 12)} AS ti FROM pts
+),
+roll AS (
+  SELECT substring({_interleave_sql('li', 'ti', 5)}, 1, 2) AS cell2,
+         count(*) AS cnt
+  FROM idx GROUP BY 1
+),
+i2 AS (
+  SELECT {_lon_idx_sql('x', 5)} AS ix, {_lat_idx_sql('y', 5)} AS iy FROM pts
+),
+cells AS (
+  SELECT ix, iy, {_morton_int_sql('ix', 'iy', 2)} AS code, count(*) AS c
+  FROM i2 GROUP BY ix, iy
+),
+dense AS (SELECT * FROM cells WHERE c >= {_GC_MIN_COUNT}),
+edges AS (
+  SELECT a.code AS src, b.code AS dst
+  FROM dense a JOIN dense b
+    ON abs(a.iy - b.iy) <= 1
+   AND (abs(a.ix - b.ix) <= 1 OR abs(a.ix - b.ix) = 31)
+),
+reach AS (
+  SELECT code AS node, code AS label FROM dense
+  UNION
+  SELECT e.src AS node, r.label AS label
+  FROM reach r JOIN edges e ON e.dst = r.node
+),
+labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+percell AS (
+  SELECT substring({_interleave_sql('cells.ix', 'cells.iy', 2)}, 1, 2) AS cell2,
+         l.cluster_id AS cluster_id,
+         CAST(CASE WHEN l.cluster_id IS NULL THEN 0 ELSE 1 END AS INT)
+           AS n_labels
+  FROM cells LEFT JOIN labels l ON cells.code = l.node
 )
-SELECT substring({_interleave_sql('li', 'ti', 5)}, 1, 2) AS cell2,
-       count(*) AS cnt
-FROM idx GROUP BY 1
+SELECT roll.cell2, roll.cnt, percell.cluster_id, percell.n_labels
+FROM roll JOIN percell ON roll.cell2 = percell.cell2
 """
 
 
@@ -2495,18 +2552,50 @@ FROM ({ORACLE_TOKEN_STATS}) a JOIN ({ORACLE_QUALITY}) b USING (doc_id)
 
 
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """simhash + lang_guess + fingerprint, wide on doc_id."""
+    """simhash + lang_guess + fingerprint, wide on doc_id — plus the
+    banded SimHash near-dup JOIN family (round 5: driver-verifies
+    operators/dedup.simhash_neardup_pairs against a brute-force
+    oracle): per doc, the count of near-dup partners at hamming <= 3
+    and the smallest partner id. The banding guarantee (pigeonhole:
+    4 bands, max_hamming 3) makes the engine's banded join EXACT, so
+    partner sets must equal the oracle's all-pairs scan."""
+    from .operators.dedup import simhash_neardup_pairs
     a = q_simhash(spark, sf_dir)
     b = q_lang_guess(spark, sf_dir)
     c = q_fingerprint(spark, sf_dir)
-    return a.join(b, "doc_id").join(c, "doc_id")
+    docs = _load(spark, sf_dir, "documents")
+    nd = simhash_neardup_pairs(docs, bits=16, bands=4, max_hamming=3)
+    sym = (nd.select(F.col("doc_a").alias("doc_id"),
+                     F.col("doc_b").alias("p"))
+             .unionAll(nd.select(F.col("doc_b").alias("doc_id"),
+                                 F.col("doc_a").alias("p"))))
+    stats = sym.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("nd_cnt"),
+        F.min("p").alias("nd_min"))
+    out = (a.join(b, "doc_id").join(c, "doc_id")
+            .join(stats, "doc_id", "left"))
+    return out.withColumn("nd_cnt",
+                          F.coalesce(F.col("nd_cnt"), F.lit(0)))
 
 
 ORACLE_DOC_SIGNATURES = f"""
-SELECT a.doc_id, a.simhash, b.en_score, b.lang_guess, c.fingerprint
-FROM ({ORACLE_SIMHASH}) a
+WITH sig AS ({ORACLE_SIMHASH}),
+nd AS (
+  SELECT x.doc_id AS doc_id, y.doc_id AS p
+  FROM sig x JOIN sig y
+    ON x.doc_id <> y.doc_id
+   AND bit_count(xor(x.simhash, y.simhash)) <= 3
+),
+nds AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS nd_cnt, min(p) AS nd_min
+  FROM nd GROUP BY doc_id
+)
+SELECT a.doc_id, a.simhash, b.en_score, b.lang_guess, c.fingerprint,
+       COALESCE(nds.nd_cnt, 0) AS nd_cnt, nds.nd_min
+FROM sig a
 JOIN ({ORACLE_LANG}) b USING (doc_id)
 JOIN ({ORACLE_FINGERPRINT}) c USING (doc_id)
+LEFT JOIN nds USING (doc_id)
 """
 
 
@@ -2814,11 +2903,109 @@ def q_polygon_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(wkt3(["u1", "u2", "u3"], ["w1", "w2", "w3"]))))
     out = shape_shape_join(la.select("lid", "lshape"), rb.select("rid", "rshape"),
                            precision=2, predicate="all", right_id="rid")
-    return (out.where(F.col("relation") != 3)
-               .select("lid", "rid", F.col("relation").alias("rel")))
+    pairs = (out.where(F.col("relation") != 3)
+                .select("lid", "rid", F.col("relation").alias("rel")))
+    return pairs.join(_dissolve_family(spark, sf_dir), "rid")
+
+
+def _dissolve_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: driver-verifies operators/dissolve.dissolve. Three
+    overlapping rects per nation (a chain r1-r2-r3; every 7th nation
+    shifts r3 away so the union goes multipart), dissolved per nation;
+    the exact union area has a closed inclusion-exclusion form over
+    axis-aligned rects, which is the DuckDB oracle. Verifies the full
+    path: rect members -> rings -> GH planarized union -> evenodd
+    shoelace area, plus union bbox, part-kind (7 chain / 8 multipart),
+    member count and the exact flag."""
+    from . import functions as SF
+    from .operators.dissolve import dissolve
+    base = _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS rid",
+        f"({_PPJ_BX} * 0.4) AS bx", f"({_PPJ_BY} * 0.5) AS by",
+        "(0.1 + 0.3 * (n_nationkey % 5)) AS j",
+        "(CASE WHEN n_nationkey % 7 = 0 THEN 40.0 ELSE 0.0 END) AS d")
+
+    def rect_struct(x0, y0, x1, y1):
+        nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+        return F.struct(
+            F.lit(2).cast("byte").alias("kind"),
+            nul("double").alias("x"), nul("double").alias("y"),
+            nul("double").alias("radius"),
+            F.expr(x0).alias("minx"), F.expr(x1).alias("maxx"),
+            F.expr(y0).alias("miny"), F.expr(y1).alias("maxy"),
+            nul("array<double>").alias("xs"),
+            nul("array<double>").alias("ys"),
+            nul("array<int>").alias("ring_offsets"),
+            nul("string").alias("error"))
+
+    rects = base.select("rid", F.explode(F.array(
+        rect_struct("bx", "by", "bx + 10.0 + j", "by + 8.0"),
+        rect_struct("bx + 6.0", "by + 4.0", "bx + 16.0 + j", "by + 12.0"),
+        rect_struct("bx + 12.0 + d", "by + 2.0",
+                    "bx + 20.0 + j + d", "by + 10.0 + j"),
+    )).alias("shape"))
+    dis = dissolve(rects, ["rid"], "shape")
+    s = F.col("shape")
+    return dis.select(
+        "rid",
+        F.round(SF.st_area(s["kind"], s["radius"], s["minx"], s["maxx"],
+                           s["miny"], s["maxy"], s["xs"], s["ys"],
+                           s["ring_offsets"], geo=False), 6).alias("d_area"),
+        # union output is always a multipolygon record (kind 8, the
+        # MULTIPOLYGON merge convention); the structural check is the
+        # RING count: 1 for the connected chain, 2 for the multipart
+        (F.size(s["ring_offsets"]) - 1).alias("d_parts"),
+        F.round(s["minx"], 6).alias("d_minx"),
+        F.round(s["maxx"], 6).alias("d_maxx"),
+        F.round(s["miny"], 6).alias("d_miny"),
+        F.round(s["maxy"], 6).alias("d_maxy"),
+        F.col("n_members").cast("int").alias("d_n"),
+        F.col("exact").alias("d_exact"))
 
 
 _PPJ_TRI_B = [("u1", "w1"), ("u2", "w2"), ("u3", "w3")]
+
+
+def _rect_ov_sql(p, q):
+    """Overlap area of two axis-aligned rects (column-prefix naming
+    px0..py1) — the inclusion-exclusion building block."""
+    return (f"(greatest(0.0, least({p}x1, {q}x1) - greatest({p}x0, {q}x0))"
+            f" * greatest(0.0, least({p}y1, {q}y1) - greatest({p}y0, {q}y0)))")
+
+
+_OV3_SQL = ("(greatest(0.0, least(ax1, bx1, cx1) - greatest(ax0, bx0, cx0))"
+            " * greatest(0.0, least(ay1, by1, cy1) - greatest(ay0, by0, cy0)))")
+
+_DISSOLVE_FAMILY_SQL = f"""
+dr AS (
+  SELECT n_nationkey AS rid,
+         ({_PPJ_BX} * 0.4) AS bx, ({_PPJ_BY} * 0.5) AS by,
+         (0.1 + 0.3 * (n_nationkey % 5)) AS j,
+         (CASE WHEN n_nationkey % 7 = 0 THEN 40.0 ELSE 0.0 END) AS d
+  FROM nation
+),
+dre AS (
+  SELECT rid,
+    bx AS ax0, by AS ay0, bx + 10.0 + j AS ax1, by + 8.0 AS ay1,
+    bx + 6.0 AS bx0, by + 4.0 AS by0, bx + 16.0 + j AS bx1, by + 12.0 AS by1,
+    bx + 12.0 + d AS cx0, by + 2.0 AS cy0,
+    bx + 20.0 + j + d AS cx1, by + 10.0 + j AS cy1
+  FROM dr
+),
+dfam AS (
+  SELECT rid,
+    round((ax1-ax0)*(ay1-ay0) + (bx1-bx0)*(by1-by0) + (cx1-cx0)*(cy1-cy0)
+          - {_rect_ov_sql('a', 'b')} - {_rect_ov_sql('a', 'c')}
+          - {_rect_ov_sql('b', 'c')} + {_OV3_SQL}, 6) AS d_area,
+    CAST(CASE WHEN rid % 7 = 0 THEN 2 ELSE 1 END AS INT) AS d_parts,
+    round(least(ax0, bx0, cx0), 6) AS d_minx,
+    round(greatest(ax1, bx1, cx1), 6) AS d_maxx,
+    round(least(ay0, by0, cy0), 6) AS d_miny,
+    round(greatest(ay1, by1, cy1), 6) AS d_maxy,
+    CAST(3 AS INT) AS d_n, TRUE AS d_exact
+  FROM dre
+)
+"""
 
 ORACLE_POLYGON_POLYGON_JOIN = f"""
 WITH ta AS (
@@ -2835,13 +3022,20 @@ tb AS (
          ({_PPJ_BX} + 15.500209) AS u3, ({_PPJ_BY} + 21.000341) AS w3
   FROM nation
 ),
-pairs AS (SELECT * FROM ta CROSS JOIN tb)
-SELECT lid, rid,
-       CAST(CASE WHEN {_pp_covers(_PP_TRI_A, _PPJ_TRI_B)} THEN 2
-                 WHEN {_pp_covers(_PPJ_TRI_B, _PP_TRI_A)} THEN 1
-                 ELSE 4 END AS INT) AS rel
-FROM pairs
-WHERE NOT {_pp_sat_disjoint(_PP_TRI_A, _PPJ_TRI_B)}
+pairs AS (SELECT * FROM ta CROSS JOIN tb),
+{_DISSOLVE_FAMILY_SQL.strip()},
+rels AS (
+  SELECT lid, rid,
+         CAST(CASE WHEN {_pp_covers(_PP_TRI_A, _PPJ_TRI_B)} THEN 2
+                   WHEN {_pp_covers(_PPJ_TRI_B, _PP_TRI_A)} THEN 1
+                   ELSE 4 END AS INT) AS rel
+  FROM pairs
+  WHERE NOT {_pp_sat_disjoint(_PP_TRI_A, _PPJ_TRI_B)}
+)
+SELECT rels.lid, rels.rid, rels.rel,
+       dfam.d_area, dfam.d_parts, dfam.d_minx, dfam.d_maxx,
+       dfam.d_miny, dfam.d_maxy, dfam.d_n, dfam.d_exact
+FROM rels JOIN dfam ON rels.rid = dfam.rid
 """
 
 
