@@ -190,11 +190,171 @@ def _erode_convex_ring(xs, ys, d):
     return oxs, oys
 
 
+# ---------------------------------------------------------------------------
+# EXACT general (concave / holed / multipart) buffer — round 5.
+#
+# P (+) disc(d) == P  ∪  (boundary(P) (+) disc(d)).  The boundary strip
+# decomposes exactly into per-EDGE rectangles (edge swept +-d along its
+# normal) and per-VERTEX discs; those pieces are unioned by the same
+# Greiner–Hormann planarization the multi-overlap parser uses
+# (kernels/union.union_many).  The strip's ring set is then classified
+# against the INPUT's even-odd region: a strip ring survives iff the
+# side of it NOT covered by the strip is also not covered by P — that
+# side is genuinely outside the buffer (outer boundaries and true
+# pockets like a nearly-closed C's enclosed gap), while rings whose
+# empty side lies INSIDE P are interior seams P fills (dropped).  Holes
+# erode by d and collapse automatically; disjoint shells whose buffers
+# meet merge exactly (the r4 hull-superset degrade is gone for every
+# simple-ring input).  Arc discretization is the same inscribed-arc
+# contract as the convex path (<= ARC_STEP radians per segment, max
+# inward deviation d*(1-cos(ARC_STEP/2)) ~ 0.48%).
+#
+# Robustness: disc discretization phases are jittered per vertex
+# (golden-angle) and the (phase-seed, d-nudge) ladder retries when the
+# union hits degenerate contact (exactly-tangent pieces); the d-nudge
+# is 1e-9 relative — three orders below the arc-inscription error.
+# Inputs the ladder cannot planarize (spike vertices, self-touching
+# rings) fall back to the r3 hull-superset path with approx=True.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_ANGLE = 2.399963229728653
+_PHASE_SEEDS = (0.437291, 1.113507, 1.771031, 2.531447)
+_D_NUDGES = (1.0, 1.0 + 3e-9, 1.0 + 7.3e-9)
+
+
+def _clean_ring(rx, ry):
+    """Drop duplicate consecutive vertices and merge exactly-collinear
+    same-direction runs (they would make adjacent strip rects share a
+    boundary line -> unresolvable degenerate contact). Returns None if
+    fewer than 3 vertices survive."""
+    n = len(rx)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        j = (i + 1) % n
+        if rx[i] == rx[j] and ry[i] == ry[j]:
+            keep[j] = False
+    rx, ry = rx[keep], ry[keep]
+    n = len(rx)
+    if n < 3:
+        return None
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        p, q = (i - 1) % n, (i + 1) % n
+        ux, uy = rx[i] - rx[p], ry[i] - ry[p]
+        vx, vy = rx[q] - rx[i], ry[q] - ry[i]
+        if ux * vy - uy * vx == 0.0 and ux * vx + uy * vy > 0.0:
+            keep[i] = False
+    rx, ry = rx[keep], ry[keep]
+    if len(rx) < 3:
+        return None
+    return rx, ry
+
+
+def _disc_piece(cx, cy, r, phase, segs=32):
+    th = phase + np.arange(segs) * (2.0 * np.pi / segs)
+    return cx + r * np.cos(th), cy + r * np.sin(th)
+
+
+def _rect_piece(ax, ay, bx, by, r):
+    ex, ey = bx - ax, by - ay
+    L = float(np.hypot(ex, ey))
+    nx, ny = ey / L * r, -ex / L * r
+    return (np.array([ax + nx, bx + nx, bx - nx, ax - nx]),
+            np.array([ay + ny, by + ny, by - ny, ay - ny]))
+
+
+def _pt_parity(px, py, rings) -> int:
+    """Even-odd crossing count of one point over a ring list
+    (vectorized twin of union._point_in_ring_strict)."""
+    c = 0
+    for rx, ry in rings:
+        rx2, ry2 = np.roll(rx, -1), np.roll(ry, -1)
+        active = (ry > py) != (ry2 > py)
+        if not active.any():
+            continue
+        x_at = rx[active] + (py - ry[active]) * (rx2[active] - rx[active]) \
+            / (ry2[active] - ry[active])
+        if (px < x_at).sum() & 1:
+            c += 1
+    return c
+
+
+def _classify_strip_ring(ring, strip, in_rings, d):
+    """True = keep (bounds the buffer), False = drop (interior seam
+    P fills), None = no clean side sample found (caller retries)."""
+    rx, ry = ring
+    ex = np.roll(rx, -1) - rx
+    ey = np.roll(ry, -1) - ry
+    elen = np.hypot(ex, ey)
+    order = np.argsort(-elen)
+    for i in order[:8]:
+        if elen[i] == 0.0:
+            continue
+        mx = rx[i] + 0.5 * ex[i]
+        my = ry[i] + 0.5 * ey[i]
+        nx, ny = ey[i] / elen[i], -ex[i] / elen[i]
+        eps = max(d * 1e-6, (abs(mx) + abs(my) + 1.0) * 1e-11)
+        pa = _pt_parity(mx + eps * nx, my + eps * ny, strip)
+        pb = _pt_parity(mx - eps * nx, my - eps * ny, strip)
+        if (pa & 1) == (pb & 1):
+            continue  # sample straddled another ring — try a new edge
+        if pa & 1:
+            qx, qy = mx - eps * nx, my - eps * ny
+        else:
+            qx, qy = mx + eps * nx, my + eps * ny
+        return (_pt_parity(qx, qy, in_rings) & 1) == 0
+    return None
+
+
+def _buffer_exact(rings, d, arc_step):
+    """Exact strip-union buffer of an even-odd ring set. Returns a
+    ring list or None when every ladder attempt hits degenerate
+    contact. `arc_step` only tightens the per-vertex disc count."""
+    from .union import union_many
+    segs = max(8, int(np.ceil(2.0 * np.pi / arc_step)))
+    vbase = 0
+    for mult in _D_NUDGES:
+        dd = d * mult
+        for seed in _PHASE_SEEDS:
+            pieces = []
+            vidx = vbase
+            for rx, ry in rings:
+                n = len(rx)
+                for i in range(n):
+                    j = (i + 1) % n
+                    if rx[i] != rx[j] or ry[i] != ry[j]:
+                        pieces.append(_rect_piece(rx[i], ry[i],
+                                                  rx[j], ry[j], dd))
+                    pieces.append(_disc_piece(
+                        rx[i], ry[i], dd,
+                        seed + _GOLDEN_ANGLE * vidx, segs))
+                    vidx += 1
+            strip = union_many(pieces)
+            if strip is None:
+                continue
+            kept = []
+            ok = True
+            for ring in strip:
+                cls = _classify_strip_ring(ring, strip, rings, dd)
+                if cls is None:
+                    ok = False
+                    break
+                if cls:
+                    kept.append(ring)
+            if ok and kept:
+                return kept
+    return None
+
+
 def buffer_polygon(xs, ys, ring_offsets, d, arc_step=ARC_STEP):
     """GetBuffered(d >= 0) for one (multi)polygon in even-odd ring form.
 
-    Returns (oxs, oys, oring_offsets, approx) where approx is True when
-    any documented approximation (hull fallback / overlap merge) fired.
+    Exact (within the inscribed-arc contract) for convex rings via
+    direct Minkowski offset/erode, and for CONCAVE / HOLED / MULTIPART
+    inputs via the strip-union path (see the round-5 block above).
+    Returns (oxs, oys, oring_offsets, approx); approx is True only when
+    the strip union could not planarize the input (spikes,
+    self-touching rings) and the hull-superset fallback fired.
     Raises ValueError on d < 0 or a degenerate ring.
     """
     from .pip import points_in_ring
@@ -232,42 +392,57 @@ def buffer_polygon(xs, ys, ring_offsets, d, arc_step=ARC_STEP):
     shells = [r for r, dep in zip(rings, depth) if dep % 2 == 0]
     holes = [r for r, dep in zip(rings, depth) if dep % 2 == 1]
 
-    approx = False
-    conv_shells = []
-    for rx, ry in shells:
-        if not _is_convex_ccw(rx, ry):
-            rx, ry = _convex_hull(rx, ry)
-            approx = True
-        conv_shells.append((rx, ry))
+    def _pack(out_rings, approx):
+        off = [0]
+        for rx, ry in out_rings:
+            off.append(off[-1] + len(rx))
+        return (np.concatenate([r[0] for r in out_rings]),
+                np.concatenate([r[1] for r in out_rings]),
+                off, approx)
 
-    if len(conv_shells) > 1:
-        # overlap guard: buffered-bbox intersection => union needed,
-        # which even-odd parity can't express -> one hull superset
+    all_convex = all(_is_convex_ccw(rx, ry) for rx, ry in shells + holes)
+    shells_overlap = False
+    if len(shells) > 1:
+        # buffered-bbox intersection => the buffers may merge, which
+        # per-shell even-odd offsets can't express -> strip-union path
         boxes = [(rx.min() - d, rx.max() + d, ry.min() - d, ry.max() + d)
-                 for rx, ry in conv_shells]
-        overlap = any(
+                 for rx, ry in shells]
+        shells_overlap = any(
             boxes[i][0] <= boxes[j][1] and boxes[j][0] <= boxes[i][1]
             and boxes[i][2] <= boxes[j][3] and boxes[j][2] <= boxes[i][3]
             for i in range(len(boxes)) for j in range(i + 1, len(boxes)))
-        if overlap:
-            ax = np.concatenate([r[0] for r in conv_shells])
-            ay = np.concatenate([r[1] for r in conv_shells])
-            conv_shells = [_convex_hull(ax, ay)]
-            holes = []
-            approx = True
 
+    if all_convex and not shells_overlap:
+        # fast path: direct Minkowski offset / erode, exact
+        out_rings = [_offset_convex_ring(rx, ry, d, arc_step)
+                     for rx, ry in shells]
+        for rx, ry in holes:
+            eroded = _erode_convex_ring(rx, ry, d)
+            if eroded is not None:
+                out_rings.append(eroded)
+        return _pack(out_rings, False)
+
+    # general EXACT path: boundary-strip union + side classification
+    cleaned = [_clean_ring(rx, ry) for rx, ry in rings]
+    if all(c is not None for c in cleaned):
+        exact = _buffer_exact(cleaned, d, arc_step)
+        if exact is not None:
+            return _pack(exact, False)
+
+    # last resort (unplanarizable input): r3 hull-superset fallback
+    conv_shells = [(rx, ry) if _is_convex_ccw(rx, ry) else
+                   _convex_hull(rx, ry) for rx, ry in shells]
+    if len(conv_shells) > 1 and shells_overlap:
+        ax = np.concatenate([r[0] for r in conv_shells])
+        ay = np.concatenate([r[1] for r in conv_shells])
+        conv_shells = [_convex_hull(ax, ay)]
+        holes = []
     out_rings = [_offset_convex_ring(rx, ry, d, arc_step)
                  for rx, ry in conv_shells]
     for rx, ry in holes:
         if not _is_convex_ccw(rx, ry):
             rx, ry = _convex_hull(rx, ry)
-            approx = True
         eroded = _erode_convex_ring(rx, ry, d)
         if eroded is not None:
             out_rings.append(eroded)
-    off = [0]
-    for rx, ry in out_rings:
-        off.append(off[-1] + len(rx))
-    return (np.concatenate([r[0] for r in out_rings]),
-            np.concatenate([r[1] for r in out_rings]),
-            off, approx)
+    return _pack(out_rings, True)

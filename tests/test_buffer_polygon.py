@@ -57,23 +57,81 @@ def test_convex_buffer_cw_input_same_result():
         sorted(zip(np.round(b[0], 12), np.round(b[1], 12)))
 
 
-def test_concave_ring_hull_superset():
-    """L-shape (concave): documented fallback is hull-then-buffer —
-    flagged approx, and a SUPERSET of the true buffer."""
-    xs = np.array([0.0, 10.0, 10.0, 6.0, 6.0, 0.0])
-    ys = np.array([0.0, 0.0, 4.0, 4.0, 10.0, 10.0])
-    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 6], 1.0)
-    assert approx
-    # every point of the true buffer (dist<=1 from the L) is covered
-    rng = np.random.default_rng(3)
-    px = rng.uniform(-2, 12, 300)
-    py = rng.uniform(-2, 12, 300)
+def _assert_exact_buffer(xs, ys, offs, d, lo, hi, n=600, seed=3):
+    """Brute-force Minkowski check: every probe deeper inside the true
+    buffer than the arc sagitta is contained; every probe outside the
+    true buffer is not (r5: exact strip-union path, no hull superset)."""
+    ox, oy, off, approx = buffer_polygon(xs, ys, offs, d)
+    assert not approx
+    sagitta = d * (1.0 - np.cos(ARC_STEP / 2.0))
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(lo, hi, n)
+    py = rng.uniform(lo, hi, n)
     got = points_in_polygon(px, py, ox, oy, off)
     for x, y, g in zip(px, py, got):
-        inside = points_in_polygon(np.array([x]), np.array([y]),
-                                   xs, ys, [0, 6])[0]
-        if inside or _dist_to_segments(x, y, xs, ys) <= 1.0 - 1e-9:
-            assert g, (x, y)
+        dist = min(_dist_to_segments(x, y, xs[offs[k]:offs[k + 1]],
+                                     ys[offs[k]:offs[k + 1]])
+                   for k in range(len(offs) - 1))
+        if points_in_polygon(np.array([x]), np.array([y]),
+                             xs, ys, offs)[0]:
+            assert g, (x, y)  # region points are always in the buffer
+        elif dist < d - sagitta - 1e-9:
+            assert g, (x, y, dist)
+        elif dist > d + 1e-9:
+            assert not g, (x, y, dist)
+    return ox, oy, off
+
+
+def test_concave_l_shape_exact():
+    """L-shape (one reflex vertex): the strip-union path is EXACT —
+    no approx flag, both containment directions hold."""
+    xs = np.array([0.0, 10.0, 10.0, 6.0, 6.0, 0.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 10.0, 10.0])
+    _assert_exact_buffer(xs, ys, [0, 6], 1.0, -3.0, 13.0)
+
+
+def test_concave_star_exact():
+    """5-point star: five reflex vertices, buffered exactly."""
+    th = np.arange(10) * np.pi / 5.0
+    r = np.where(np.arange(10) % 2 == 0, 5.0, 2.0)
+    xs = 5.0 + r * np.cos(th)
+    ys = 5.0 + r * np.sin(th)
+    _assert_exact_buffer(xs, ys, [0, 10], 0.8, -2.0, 12.0)
+
+
+def test_concave_holed_exact():
+    """Concave shell (L) with a hole: shell offsets and hole erosion
+    both come out of the one strip union, exactly."""
+    xs = np.concatenate([np.array([0.0, 10.0, 10.0, 6.0, 6.0, 0.0]),
+                         np.array([1.5, 4.0, 4.0, 1.5])])
+    ys = np.concatenate([np.array([0.0, 0.0, 4.0, 4.0, 10.0, 10.0]),
+                         np.array([5.5, 5.5, 8.5, 8.5])])
+    ox, oy, off = _assert_exact_buffer(
+        xs, ys, [0, 6, 10], 0.5, -2.0, 12.0)
+    assert len(off) - 1 == 2  # shell ring + eroded hole survive
+    # eroded hole: old-hole center still out, near-old-edge point in
+    assert not points_in_polygon(np.array([2.75]), np.array([7.0]),
+                                 ox, oy, off)[0]
+    assert points_in_polygon(np.array([1.9]), np.array([7.0]),
+                             ox, oy, off)[0]
+
+
+def test_sealed_neck_creates_buffer_hole():
+    """Chamber connected to the outside by a neck narrower than 2d:
+    the buffer seals the neck and the chamber interior beyond d of any
+    wall becomes a genuine HOLE of the buffer (JTS parity — the r4
+    hull path could not represent this at all)."""
+    xs = np.array([0.0, 20, 20, 15, 15, 5, 5, 15, 15, 20, 20, 0])
+    ys = np.array([0.0, 0, 9, 9, 5, 5, 15, 15, 11, 11, 20, 20])
+    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 12], 1.5)
+    assert not approx and len(off) - 1 == 2
+    inp = points_in_polygon(
+        np.array([10.0, 5.5, 21.0, 25.0]), np.array([10.0, 5.5, 10.0, 25.0]),
+        ox, oy, off)
+    assert not inp[0]     # chamber center: inside the hole
+    assert inp[1]         # within d of a chamber wall: covered
+    assert inp[2]         # outside the sealed neck: strip covers it
+    assert not inp[3]     # far away
 
 
 def test_hole_erodes_and_collapses():
@@ -107,16 +165,22 @@ def test_disjoint_shells_buffer_independently():
                                  ox, oy, off)[0]
 
 
-def test_overlapping_buffered_shells_merge_to_hull():
-    """Shells whose buffers overlap: even-odd XOR would punch a phantom
-    hole in the overlap — guard degrades to one hull ring (approx)."""
+def test_overlapping_buffered_shells_merge_exactly():
+    """Shells whose buffers overlap merge through the strip union into
+    ONE exact ring (r4 degraded this to a hull superset)."""
     xs = np.concatenate([SQUARE[0], SQUARE[0] + 11.0])
     ys = np.concatenate([SQUARE[1], SQUARE[1]])
-    ox, oy, off, approx = buffer_polygon(xs, ys, [0, 4, 8], 2.0)
-    assert approx and len(off) - 1 == 1
+    ox, oy, off = _assert_exact_buffer(
+        xs, ys, [0, 4, 8], 2.0, -4.0, 25.0)
+    assert len(off) - 1 == 1
     # the seam point between the squares is covered (XOR would drop it)
     assert points_in_polygon(np.array([10.5]), np.array([5.0]),
                              ox, oy, off)[0]
+    # a hull superset would cover the outer corner region between the
+    # two buffers — the exact union must NOT (dist to either square
+    # from (10.5, 14.5) is > 2 + sagitta)
+    assert not points_in_polygon(np.array([10.5]), np.array([14.5]),
+                                 ox, oy, off)[0]
 
 
 def test_zero_and_negative_distance():
