@@ -1168,71 +1168,85 @@ def st_intersection(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
                     bkind: pd.Series, bminx: pd.Series, bmaxx: pd.Series,
                     bminy: pd.Series, bmaxy: pd.Series, bxs: pd.Series,
                     bys: pd.Series, bro: pd.Series) -> pd.DataFrame:
-    """Intersection GEOMETRY of two SIMPLE (single-ring, hole-free,
-    non-dateline-crossing) polygons/rects as a shape struct — kind 7
-    for one component, kind 8 for several (interlocking C-shapes),
-    kind 0 (EMPTY) for a disjoint pair. Greiner–Hormann traversal
-    (kernels/union.intersect_rings, the union kernel's dual).
+    """Intersection GEOMETRY of two polygons/rects as a shape struct —
+    concave, HOLED, MULTIPART and dateline-paged inputs included
+    (round 5: kernels/booleans.intersect_evenodd, the member-algebra
+    extension of the Greiner–Hormann kernels — the r4 version accepted
+    only simple single rings). kind 7 for one output member
+    (shell + holes), kind 8 for several (interlocking C-shapes,
+    multipart inputs, hole-pinched islands), kind 0 (EMPTY) for a
+    disjoint pair. Dateline-crossing rects page-split like the WKT
+    parser, so paged inputs meet paged outputs consistently.
 
     Honest contract: degenerate boundary contact (shared vertices,
-    collinear overlapping edges) and holed/multipart/paged inputs
-    return an error row — the exact MEASURE for all those cases is
-    `st_intersection_area`/`st_overlay_measure`, which has no such
-    bailout. Rect rows are converted to their 4-corner ring."""
-    from ..kernels.union import intersect_rings
+    collinear overlapping edges) still returns an error row — the
+    exact MEASURE for those inputs is `st_intersection_area` /
+    `st_overlay_measure`, which has no such bailout."""
+    from ..kernels.booleans import intersect_evenodd
     rows = []
     for i in range(len(akind)):
         try:
-            ring_a = _simple_ring(akind.iloc[i], aminx.iloc[i],
-                                  amaxx.iloc[i], aminy.iloc[i],
-                                  amaxy.iloc[i], axs.iloc[i], ays.iloc[i],
-                                  aro.iloc[i])
-            ring_b = _simple_ring(bkind.iloc[i], bminx.iloc[i],
-                                  bmaxx.iloc[i], bminy.iloc[i],
-                                  bmaxy.iloc[i], bxs.iloc[i], bys.iloc[i],
-                                  bro.iloc[i])
+            rings_a = _evenodd_rings(akind.iloc[i], aminx.iloc[i],
+                                     amaxx.iloc[i], aminy.iloc[i],
+                                     amaxy.iloc[i], axs.iloc[i],
+                                     ays.iloc[i], aro.iloc[i])
+            rings_b = _evenodd_rings(bkind.iloc[i], bminx.iloc[i],
+                                     bmaxx.iloc[i], bminy.iloc[i],
+                                     bmaxy.iloc[i], bxs.iloc[i],
+                                     bys.iloc[i], bro.iloc[i])
         except ValueError as e:
             rows.append(dict(_EMPTY_ROW, error=str(e)))
             continue
-        rings = intersect_rings(ring_a[0], ring_a[1], ring_b[0], ring_b[1])
-        if rings is None:
+        members = intersect_evenodd(rings_a, rings_b)
+        if members is None:
             rows.append(dict(_EMPTY_ROW,
                              error="degenerate boundary contact"))
             continue
-        if not rings:
+        if not members:
             rows.append(dict(_EMPTY_ROW, error=None))
             continue
         xs_out, ys_out, offs = [], [], [0]
-        for rx, ry in rings:
-            # emit closed rings, matching the WKT parser's convention
-            xs_out.extend(rx.tolist() + [float(rx[0])])
-            ys_out.extend(ry.tolist() + [float(ry[0])])
-            offs.append(len(xs_out))
+        for shell, holes in members:
+            for rx, ry in [shell] + holes:
+                # emit closed rings, matching the WKT parser convention
+                xs_out.extend(rx.tolist() + [float(rx[0])])
+                ys_out.extend(ry.tolist() + [float(ry[0])])
+                offs.append(len(xs_out))
         rows.append(dict(
-            kind=8 if len(rings) > 1 else 7, x=None, y=None, radius=None,
+            kind=8 if len(members) > 1 else 7, x=None, y=None, radius=None,
             minx=min(xs_out), maxx=max(xs_out),
             miny=min(ys_out), maxy=max(ys_out),
             xs=xs_out, ys=ys_out, ring_offsets=offs, error=None))
     return pd.DataFrame(rows)
 
 
-def _simple_ring(kind, minx, maxx, miny, maxy, xs, ys, ro):
-    """One open simple ring from a shape struct, or ValueError."""
+def _evenodd_rings(kind, minx, maxx, miny, maxy, xs, ys, ro):
+    """Even-odd ring list [(xs, ys), ...] from a shape struct, or
+    ValueError for kinds without polygonal geometry. Dateline-crossing
+    rects page-split into two rings (the WKT parser's convention)."""
     if kind == 2:
-        if minx > maxx:
-            raise ValueError("dateline-crossing rect: page-split first")
-        return (np.asarray([minx, maxx, maxx, minx], dtype=np.float64),
-                np.asarray([miny, miny, maxy, maxy], dtype=np.float64))
-    if kind != 7:
-        raise ValueError(f"st_intersection needs simple polygons/rects,"
+        pages = ([((minx, 180.0), (miny, maxy)),
+                  ((-180.0, maxx), (miny, maxy))]
+                 if minx > maxx else [((minx, maxx), (miny, maxy))])
+        return [(np.asarray([x0, x1, x1, x0], dtype=np.float64),
+                 np.asarray([y0, y0, y1, y1], dtype=np.float64))
+                for (x0, x1), (y0, y1) in pages]
+    if kind not in (7, 8):
+        raise ValueError(f"st_intersection needs polygons/rects,"
                          f" got kind {int(kind)}")
-    if ro is not None and len(ro) > 2:
-        raise ValueError("holed/multipart polygon: use st_intersection_area")
     rx = np.asarray(xs, dtype=np.float64)
     ry = np.asarray(ys, dtype=np.float64)
-    if len(rx) >= 2 and rx[0] == rx[-1] and ry[0] == ry[-1]:
-        rx, ry = rx[:-1], ry[:-1]
-    return rx, ry
+    offs = (np.asarray(ro, dtype=np.int64) if ro is not None
+            else np.asarray([0, len(rx)], dtype=np.int64))
+    out = []
+    for k in range(len(offs) - 1):
+        gx, gy = rx[offs[k]:offs[k + 1]], ry[offs[k]:offs[k + 1]]
+        if len(gx) >= 2 and gx[0] == gx[-1] and gy[0] == gy[-1]:
+            gx, gy = gx[:-1], gy[:-1]
+        if len(gx) < 3:
+            raise ValueError("degenerate ring (<3 vertices)")
+        out.append((gx, gy))
+    return out
 
 
 _OVERLAY_MEASURE_SCHEMA = StructType([

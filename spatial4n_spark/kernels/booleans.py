@@ -1,0 +1,162 @@
+r"""Even-odd boolean geometry: exact intersection of two arbitrary
+even-odd ring sets (concave, holed, multipart, nested islands).
+
+Round-5 extension of the Greiner–Hormann kernels (kernels/union.py) —
+the geometry twin of the overlay AREA kernel (kernels/overlay.py),
+which reference users get from NTS `Geometry.Intersection`
+(Spatial4n.Core.NTS/Shapes/Nts/NtsGeometry.cs relate/op surface).
+
+Method: decompose each even-odd ring set into MEMBERS (shell + its
+immediate holes; islands nested in holes are members of their own).
+Members of one set have disjoint interiors, so intersection
+distributes: A ∩ B = ⊔ (Ma ∩ Nb) — the member-pair results simply
+concatenate, no re-union needed. One member pair is
+
+    (Sa \ Ha) ∩ (Sb \ Hb) = (Sa ∩ Sb) \ (Ha ∪ Hb)
+
+computed as: GH ring intersection for the cores, union_many for the
+combined hole set (holes of ONE member are disjoint, but Ha and Hb may
+overlap each other), then sequential GH ring DIFFERENCE of the
+disjoint hole-union primaries from each core. Pocket rings the hole
+union pinches off (two interlocking C-holes) are regions the holes do
+NOT cover: they are clipped to the core and re-added as island
+members. Any degenerate boundary contact anywhere returns None — the
+caller reports an honest error row; the exact AREA for such inputs is
+kernels/overlay.intersection_area, which has no bailout.
+
+Scale note: runs per candidate pair inside an Arrow batch; cost is
+O(|A|·|B|) crossing detection per ring pair on shapes that are tiny
+next to the row counts around them (same contract as union.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .union import (_open_ccw, _point_in_ring_strict, difference_rings,
+                    intersect_rings, union_many)
+
+
+def _depths(rings):
+    """Containment depth of each ring's first vertex vs the others.
+    Valid even-odd input: rings never cross, so first-vertex parity is
+    the ring's nesting depth."""
+    out = []
+    for k, (rx, ry) in enumerate(rings):
+        d = 0
+        for j, (ox, oy) in enumerate(rings):
+            if j != k and _point_in_ring_strict(rx[0], ry[0], ox, oy):
+                d += 1
+        out.append(d)
+    return out
+
+
+def members_of(rings):
+    """Group an even-odd ring list into members [(shell, [holes])].
+    Even-depth rings are shells; each odd-depth ring attaches to its
+    deepest containing shell (its immediate parent)."""
+    opened = [_open_ccw(np.asarray(rx, dtype=np.float64),
+                        np.asarray(ry, dtype=np.float64))
+              for rx, ry in rings]
+    depth = _depths(opened)
+    members = []
+    shell_idx = []
+    for i, (r, d) in enumerate(zip(opened, depth)):
+        if d % 2 == 0:
+            members.append((r, []))
+            shell_idx.append(i)
+    for i, (r, d) in enumerate(zip(opened, depth)):
+        if d % 2 == 1:
+            parent, pdepth = None, -1
+            for m, si in enumerate(shell_idx):
+                sx, sy = opened[si]
+                if depth[si] == d - 1 and _point_in_ring_strict(
+                        r[0][0], r[1][0], sx, sy):
+                    if depth[si] > pdepth:
+                        parent, pdepth = m, depth[si]
+            if parent is None:
+                return None  # inconsistent nesting (invalid input)
+            members[parent][1].append(r)
+    return members
+
+
+def _split_shells_holes(pieces):
+    """Classify a GH output ring list into (shells, holes) by nesting
+    parity within the list."""
+    depth = _depths(pieces)
+    shells = [r for r, d in zip(pieces, depth) if d % 2 == 0]
+    holes = [r for r, d in zip(pieces, depth) if d % 2 == 1]
+    return shells, holes
+
+
+def _member_intersection(sa, ha, sb, hb):
+    """One member pair -> list of output members, or None on
+    degenerate contact."""
+    cores = intersect_rings(sa[0], sa[1], sb[0], sb[1])
+    if cores is None:
+        return None
+    if not cores:
+        return []
+    holes = ha + hb
+    prim, pock = [], []
+    if len(holes) == 1:
+        prim = [holes[0]]
+    elif holes:
+        u = union_many(holes)
+        if u is None:
+            return None
+        prim, pock = _split_shells_holes(u)
+    out_members = []
+    for cx, cy in cores:
+        state = [((cx, cy), [])]
+        for px, py in prim:
+            new_state = []
+            for (shx, shy), hl in state:
+                pieces = difference_rings(shx, shy, px, py)
+                if pieces is None:
+                    return None
+                if not pieces:
+                    continue  # this shell is consumed by the hole
+                shells, new_holes = _split_shells_holes(pieces)
+                for s2x, s2y in shells:
+                    hset = [h for h in hl + new_holes
+                            if _point_in_ring_strict(h[0][0], h[1][0],
+                                                     s2x, s2y)]
+                    new_state.append(((s2x, s2y), hset))
+            state = new_state
+        out_members.extend(state)
+    # pocket rings of the hole union are NOT hole-covered: the
+    # sequential disk subtraction above removed them with their
+    # enclosing primary, so re-add them clipped to each core as
+    # island members (a pocket contains no further holes — every
+    # input hole is inside the union region, pockets are outside it)
+    for pxr, pyr in pock:
+        for cx, cy in cores:
+            isl = intersect_rings(pxr, pyr, cx, cy)
+            if isl is None:
+                return None
+            for s2 in isl:
+                out_members.append((s2, []))
+    return out_members
+
+
+def intersect_evenodd(rings_a, rings_b):
+    """Exact intersection geometry of two even-odd ring sets.
+
+    rings_a / rings_b: lists of (xs, ys) rings (open or closed, any
+    orientation). Returns a list of members [(shell, [holes])] whose
+    concatenated rings are the even-odd form of A ∩ B — [] when the
+    interiors are disjoint — or None on degenerate boundary contact
+    (shared vertices / collinear overlapping edges) anywhere.
+    """
+    ma = members_of(rings_a)
+    mb = members_of(rings_b)
+    if ma is None or mb is None:
+        return None
+    out = []
+    for sa, ha in ma:
+        for sb, hb in mb:
+            res = _member_intersection(sa, ha, sb, hb)
+            if res is None:
+                return None
+            out.extend(res)
+    return out

@@ -57,12 +57,14 @@ def _point_in_ring_strict(px, py, xs, ys) -> bool:
 
 
 class _Node:
-    __slots__ = ("x", "y", "nxt", "inter", "twin", "entry", "visited")
+    __slots__ = ("x", "y", "nxt", "prv", "inter", "twin", "entry",
+                 "visited")
 
     def __init__(self, x, y, inter=False):
         self.x = x
         self.y = y
         self.nxt = None
+        self.prv = None
         self.inter = inter
         self.twin = None
         self.entry = False
@@ -70,8 +72,9 @@ class _Node:
 
 
 def _build_list(xs, ys, inters_per_edge):
-    """Circular list of ring vertices with intersection nodes spliced
-    in t-order along each edge. Returns (head, intersection nodes)."""
+    """Circular doubly-linked list of ring vertices with intersection
+    nodes spliced in t-order along each edge. Returns (head,
+    intersection nodes)."""
     nodes = []
     inter_nodes = []
     n = len(xs)
@@ -82,6 +85,7 @@ def _build_list(xs, ys, inters_per_edge):
             inter_nodes.append(node)
     for i, nd in enumerate(nodes):
         nd.nxt = nodes[(i + 1) % len(nodes)]
+        nodes[(i + 1) % len(nodes)].prv = nd
     return nodes[0], inter_nodes
 
 
@@ -334,6 +338,20 @@ def intersect_rings(ax, ay, bx, by):
     return _gh_clip(ax, ay, bx, by, want="intersection")
 
 
+def difference_rings(ax, ay, bx, by):
+    """Difference A \\ B of two simple rings -> list of (xs, ys) rings.
+    A ring of the output enclosed by another output ring is a HOLE of
+    it (B strictly inside A, or a cut that pinches a pocket closed) —
+    callers classify by containment. Textbook Greiner–Hormann
+    difference: pieces of ∂A walked FORWARD where A is outside B,
+    stitched to pieces of ∂B walked BACKWARD where B is inside A (the
+    forward-only jump the union/intersection traversal uses is invalid
+    for a complement operand — validated by randomized brute-force
+    parity in test_union_property). Returns None on degenerate
+    contact."""
+    return _gh_clip(ax, ay, bx, by, want="difference")
+
+
 def _gh_clip(ax, ay, bx, by, want: str):
     ax, ay = _open_ccw(ax, ay)
     bx, by = _open_ccw(bx, by)
@@ -349,6 +367,12 @@ def _gh_clip(ax, ay, bx, by, want: str):
             if b_in_a:
                 return [(ax, ay)]
             return [(ax, ay), (bx, by)]
+        if want == "difference":
+            if a_in_b:
+                return []
+            if b_in_a:
+                return [(ax, ay), (bx, by)]  # B punches a hole in A
+            return [(ax, ay)]
         if a_in_b:
             return [(ax, ay)]
         if b_in_a:
@@ -380,6 +404,9 @@ def _gh_clip(ax, ay, bx, by, want: str):
             nd = nd.nxt
             if nd is head:
                 break
+
+    if want == "difference":
+        return _difference_traverse(ax, bx, crossings, a_inters)
 
     # traversal: follow a list, jumping to the twin at every crossing.
     # UNION starts at EXIT nodes (the piece of the list ahead is
@@ -418,6 +445,49 @@ def _gh_clip(ax, ay, bx, by, want: str):
                 loop_x.append(nd.x)
                 loop_y.append(nd.y)
                 nd = nd.nxt
+        if len(loop_x) >= 3:
+            rings.append((np.asarray(loop_x), np.asarray(loop_y)))
+    return rings
+
+
+def _difference_traverse(ax, bx, crossings, a_inters):
+    """A \\ B loop extraction over marked node lists: ∂A pieces walked
+    FORWARD where the walk-ahead is outside B (entry == False), ∂B
+    pieces walked BACKWARD (so the removed region stays on the right),
+    switching lists at every crossing. Closes at the start node (either
+    incarnation). A foreign visited node or a step overrun means
+    near-degenerate float geometry -> None (caller reports degenerate
+    contact)."""
+    max_steps = 4 * (len(ax) + len(bx) + 2 * len(crossings))
+    rings = []
+    for start in a_inters:
+        if start.visited or start.entry:
+            continue
+        start.visited = True
+        start.twin.visited = True
+        loop_x, loop_y = [start.x], [start.y]
+        on_a = True
+        nd = start.nxt
+        steps = 0
+        while True:
+            steps += 1
+            if steps > max_steps:
+                return None
+            if nd.inter:
+                if nd is start or nd.twin is start:
+                    break
+                if nd.visited:
+                    return None
+                nd.visited = True
+                nd.twin.visited = True
+                loop_x.append(nd.x)
+                loop_y.append(nd.y)
+                on_a = not on_a
+                nd = nd.twin.nxt if on_a else nd.twin.prv
+            else:
+                loop_x.append(nd.x)
+                loop_y.append(nd.y)
+                nd = nd.nxt if on_a else nd.prv
         if len(loop_x) >= 3:
             rings.append((np.asarray(loop_x), np.asarray(loop_y)))
     return rings

@@ -1,0 +1,179 @@
+"""Even-odd boolean kernels (round 5): GH ring difference and the
+member-algebra even-odd intersection — brute-force parity and
+area-vs-overlay-kernel equivalence.
+
+Reference parity target: NTS Geometry.Intersection semantics
+(Spatial4n.Core.NTS/Shapes/Nts/NtsGeometry.cs relate/op surface).
+"""
+import numpy as np
+import pytest
+
+from spatial4n_spark.kernels.booleans import intersect_evenodd, members_of
+from spatial4n_spark.kernels.overlay import (intersection_area,
+                                             polygon_area_evenodd)
+from spatial4n_spark.kernels.union import (_point_in_ring_strict,
+                                           difference_rings)
+
+
+def _parity(px, py, rings):
+    return sum(_point_in_ring_strict(px, py, rx, ry)
+               for rx, ry in rings) % 2
+
+
+def _rand_ring(rng, cx, cy, n, rmin, rmax):
+    """Simple ring: evenly-spaced angular sectors + jitter keeps every
+    wedge under pi, so edges stay in their sector and never cross."""
+    th = 2 * np.pi * np.arange(n) / n + rng.uniform(0, 0.9 * 2 * np.pi / n, n)
+    r = rng.uniform(rmin, rmax, n)
+    return cx + r * np.cos(th), cy + r * np.sin(th)
+
+
+def _near_any(px, py, ringlist, eps=1e-6):
+    for xs, ys in ringlist:
+        n = len(xs)
+        for i in range(n):
+            x1, y1, x2, y2 = xs[i], ys[i], xs[(i + 1) % n], ys[(i + 1) % n]
+            dx, dy = x2 - x1, y2 - y1
+            L2 = dx * dx + dy * dy
+            t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - x1) * dx
+                                                       + (py - y1) * dy) / L2))
+            if np.hypot(px - (x1 + t * dx), py - (y1 + t * dy)) < eps:
+                return True
+    return False
+
+
+def test_difference_randomized_parity():
+    """A \\ B over random simple concave rings: every clean probe
+    matches (in A) and not (in B)."""
+    rng = np.random.default_rng(42)
+    checked = 0
+    for _ in range(150):
+        ax, ay = _rand_ring(rng, 0, 0, int(rng.integers(4, 14)), 1.0, 5.0)
+        bx, by = _rand_ring(rng, rng.uniform(-4, 4), rng.uniform(-4, 4),
+                            int(rng.integers(4, 14)), 1.0, 5.0)
+        res = difference_rings(ax, ay, bx, by)
+        if res is None:
+            continue
+        for _ in range(30):
+            px, py = rng.uniform(-8, 8), rng.uniform(-8, 8)
+            if _near_any(px, py, [(ax, ay), (bx, by)]):
+                continue
+            want = (_point_in_ring_strict(px, py, ax, ay)
+                    and not _point_in_ring_strict(px, py, bx, by))
+            assert (_parity(px, py, res) == 1) == want, (px, py)
+            checked += 1
+    assert checked > 2000
+
+
+def test_difference_hole_and_split():
+    sq = (np.array([0.0, 10, 10, 0]), np.array([0.0, 0, 10, 10]))
+    # B inside A -> A keeps B as a hole ring
+    res = difference_rings(*sq, np.array([4.0, 6, 6, 4]),
+                           np.array([4.0, 4, 6, 6]))
+    assert len(res) == 2
+    assert _parity(5, 5, res) == 0 and _parity(1, 5, res) == 1
+    # B a bar through the middle -> A splits into two components
+    res = difference_rings(*sq, np.array([-1.0, 11, 11, -1]),
+                           np.array([4.0, 4, 6, 6]))
+    assert len(res) == 2
+    assert _parity(5, 2, res) == 1 and _parity(5, 8, res) == 1
+    assert _parity(5, 5, res) == 0
+    # A inside B -> empty
+    assert difference_rings(*sq, np.array([-1.0, 11, 11, -1]),
+                            np.array([-1.0, -1, 11, 11])) == []
+
+
+def _rand_shape(rng, cx, cy):
+    """Shell + up to two holes strictly inside and mutually disjoint."""
+    rings = []
+    sx, sy = _rand_ring(rng, cx, cy, int(rng.integers(5, 12)), 3.0, 6.0)
+    rings.append((sx, sy))
+    for _ in range(int(rng.integers(0, 3))):
+        hx, hy = _rand_ring(rng, cx + rng.uniform(-1, 1),
+                            cy + rng.uniform(-1, 1),
+                            int(rng.integers(4, 8)), 0.4, 1.4)
+        ok = all(_point_in_ring_strict(hx[i], hy[i], sx, sy)
+                 for i in range(len(hx)))
+        for ox, oy in rings[1:]:
+            if ok and not (hx.max() < ox.min() or ox.max() < hx.min()
+                           or hy.max() < oy.min() or oy.max() < hy.min()):
+                ok = False
+        if ok:
+            rings.append((hx, hy))
+    return rings
+
+
+def test_intersect_evenodd_randomized_parity_and_area():
+    """Holed x holed random pairs: probe parity matches (in A) and
+    (in B); the output geometry's even-odd area equals the overlay
+    AREA kernel's intersection_area (two independent computations)."""
+    rng = np.random.default_rng(7)
+    checked = pairs = 0
+    for _ in range(120):
+        A = _rand_shape(rng, 0, 0)
+        B = _rand_shape(rng, rng.uniform(-5, 5), rng.uniform(-5, 5))
+        res = intersect_evenodd(A, B)
+        if res is None:
+            continue
+        flat = []
+        for sh, hl in res:
+            flat.append(sh)
+            flat.extend(hl)
+        pairs += 1
+        for _ in range(30):
+            px, py = rng.uniform(-11, 11), rng.uniform(-11, 11)
+            if _near_any(px, py, A) or _near_any(px, py, B):
+                continue
+            want = _parity(px, py, A) == 1 and _parity(px, py, B) == 1
+            assert (_parity(px, py, flat) == 1) == want, (px, py)
+            checked += 1
+        # area equivalence vs the overlay measure kernel
+
+        def _pack(rl):
+            xs = np.concatenate([r[0] for r in rl])
+            ys = np.concatenate([r[1] for r in rl])
+            off = np.cumsum([0] + [len(r[0]) for r in rl])
+            return xs, ys, off
+        area_geom = (polygon_area_evenodd(*_pack(flat)) if flat else 0.0)
+        area_kernel = intersection_area(*_pack(A), *_pack(B))
+        assert area_geom == pytest.approx(area_kernel, rel=1e-9, abs=1e-12)
+    assert pairs > 80 and checked > 1500
+
+
+def test_intersect_evenodd_pocket_island():
+    """Interlocking C-holes pinch off a pocket the holes do NOT cover:
+    it must come back as an island member of the intersection."""
+    sq_a = (np.array([0.0, 20, 20, 0]), np.array([0.0, 0, 20, 20]))
+    sq_b = (np.array([-1.0, 21, 21, -1]), np.array([-1.0, -1, 21, 21]))
+    c1 = (np.array([5.0, 12, 12, 7, 7, 12, 12, 5]),
+          np.array([5.0, 5, 7, 7, 13, 13, 15, 15]))
+    c2 = (np.array([17.0, 10, 10, 15, 15, 10, 10, 17]),
+          np.array([16.0, 16, 14, 14, 6, 6, 4, 4]))
+    res = intersect_evenodd([sq_a, c1], [sq_b, c2])
+    assert res is not None and len(res) == 2  # main member + island
+    flat = []
+    for sh, hl in res:
+        flat.append(sh)
+        flat.extend(hl)
+    # (13, 10) is in neither hole -> in A and in B -> in the result
+    assert _parity(13, 10, flat) == 1
+    # a point inside hole C1 -> not in the result
+    assert _parity(6, 6, flat) == 0
+
+
+def test_members_of_nesting():
+    """Island-in-hole (depth 2) becomes its own member."""
+    shell = (np.array([0.0, 20, 20, 0]), np.array([0.0, 0, 20, 20]))
+    hole = (np.array([5.0, 15, 15, 5]), np.array([5.0, 5, 15, 15]))
+    island = (np.array([8.0, 12, 12, 8]), np.array([8.0, 8, 12, 12]))
+    ms = members_of([shell, hole, island])
+    assert len(ms) == 2
+    n_holes = sorted(len(h) for _, h in ms)
+    assert n_holes == [0, 1]
+
+
+def test_intersect_evenodd_degenerate_bails():
+    """Shared-edge contact anywhere -> None (honest error path)."""
+    a = (np.array([0.0, 2, 2, 0]), np.array([0.0, 0, 2, 2]))
+    b = (np.array([2.0, 4, 4, 2]), np.array([0.0, 0, 2, 2]))
+    assert intersect_evenodd([a], [b]) is None

@@ -270,9 +270,22 @@ def test_st_intersection_geometry(spark):
         # shared edge -> degenerate error
         ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
          "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))", 0, None, "degenerate"),
-        # holed input -> error pointing at the area path
+        # holed input (r5: geometry, no longer an error row): B swallows
+        # the hole -> one member, shell + hole, area 49 - 1
         ("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0),(4 4, 5 4, 5 5, 4 5, 4 4))",
-         "POLYGON((1 1, 8 1, 8 8, 1 8, 1 1))", 0, None, "holed"),
+         "POLYGON((1 1, 8 1, 8 8, 1 8, 1 1))", 7, 48.0, None),
+        # hole crossing the partner boundary: the cut carves the shell
+        ("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0),(3 3, 6 3, 6 6, 3 6, 3 3))",
+         "POLYGON((-1 4, 10 4, 10 5, -1 5, -1 4))", 8, 9.0 - 3.0, None),
+        # MULTIPOLYGON x rect-polygon -> two components
+        ("MULTIPOLYGON(((0 0, 3 0, 3 3, 0 3, 0 0)),"
+         "((5 0, 8 0, 8 3, 5 3, 5 0)))",
+         "POLYGON((-1 1, 9 1, 9 2, -1 2, -1 1))", 8, 6.0, None),
+        # concave (L) x holed square: exact concave+holed composition
+        ("POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))",
+         "POLYGON((-1 -1, 7 -1, 7 7, -1 7, -1 -1),"
+         "(0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))",
+         7, 20.0 - 1.0, None),
     ]
     df = spark.createDataFrame(cases, "awkt string, bwkt string,"
                                " ekind int, earea double, eerr string")
