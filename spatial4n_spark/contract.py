@@ -987,7 +987,8 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect+createDataFrame LocalRelation variant was A/B-measured
     # interleaved and lost to the checkpoint — driver-side Row
     # conversion costs more than the block-manager fetches it saves.)
-    zones = rects.unionByName(polys).localCheckpoint()
+    from .staging import stage
+    zones = stage(rects.unionByName(polys), "zonal_zones")
     return zonal_stats_tagged(pixels, zones)
 
 
@@ -3084,9 +3085,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     refs = refs.repartition(spark.sparkContext.defaultParallelism)
     # materialize the decode ONCE: three downstream branches (stats,
     # dims, frame sampling) would otherwise re-run the mapInPandas
-    # decode per branch — at scale this is a persisted/written stage
-    dec = decode_media(generate_media(spark, refs, dedup_refs=False)
-                       ).localCheckpoint()
+    # decode per branch — spillable via spark.spatial4n.stageDir
+    # (staging.stage), else an in-memory localCheckpoint
+    from .staging import stage
+    dec = stage(decode_media(generate_media(spark, refs, dedup_refs=False)),
+                "mm_decode")
     feats = media_features(dec)
     dims = dec.select("media_ref", "width", "height", "channels")
     fr = (sample_frames(dec, every_n=2)

@@ -126,8 +126,10 @@ def run_corpus_clean(spark: SparkSession, docs: DataFrame, workdir: str,
     removal = (clusters.where(F.col("cluster_id") != F.col("doc_id"))
                        .select("doc_id"))
     # materialize the narrow removal list once; both its size and the
-    # emit stage's broadcast depend on it
-    removal = removal.localCheckpoint()
+    # emit stage's broadcast depend on it (spillable via
+    # spark.spatial4n.stageDir)
+    from ..staging import stage
+    removal = stage(removal, "removal_list")
     n_removed = removal.count()
 
     # the survivors table was itself written by run_checkpointed, so

@@ -47,9 +47,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     silently WRONG otherwise); the min label travels one hop per round,
     so max_iter bounds the component diameter this call can handle.
     `stage_dir`: directory for parquet round staging (see module doc);
-    None = in-memory localCheckpoint. Results are identical.
+    None defers to the session default `spark.spatial4n.stageDir`
+    (staging.resolve_stage_dir), else in-memory localCheckpoint.
+    Results are identical.
     """
+    from ..staging import resolve_stage_dir
     spark = edges.sparkSession
+    stage_dir = resolve_stage_dir(spark, stage_dir)
 
     def _materialize(df: DataFrame, name: str) -> DataFrame:
         """Round barrier: triggers the plan (firing its Observation)

@@ -113,10 +113,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     # to one task even though the join OUTPUT (within-bucket pairs) is
     # quadratic in bucket size — parallelism must follow the output.
     # Identical partitioning also makes the self-join zero-shuffle.
-    # At 1e9 docs swap localCheckpoint for a parquet stage write (the
-    # same shape the checkpoint module uses).
+    # At 1e9 docs set spark.spatial4n.stageDir to route this through
+    # a parquet stage instead of block-manager memory (staging.stage).
+    from ..staging import stage
     n_parts = stacked.sparkSession.sparkContext.defaultParallelism
-    stacked = stacked.repartition(n_parts, "band", "bh").localCheckpoint()
+    stacked = stage(stacked.repartition(n_parts, "band", "bh"), "lsh_bands")
     left = stacked.select(F.col(id_col).alias("doc_a"), "band", "bh")
     right = stacked.select(F.col(id_col).alias("doc_b"), "band", "bh")
     pairs = (left.join(right, ["band", "bh"], "inner")
@@ -146,7 +147,8 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     makes the self-join zero-shuffle), and the refine is one codegen
     bit_count(xor) per candidate. At 100 TB: no all-pairs stage; hot
     band buckets (boilerplate-heavy corpora) salt or AQE-split like any
-    hash join; swap localCheckpoint for a parquet stage at 1e9+ docs.
+    hash join; set spark.spatial4n.stageDir for a parquet stage at
+    1e9+ docs (staging.stage).
     """
     from .text import with_simhash
     if bits % bands:
@@ -168,8 +170,10 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
             for b in range(bands)])).alias("e")
     ).select(id_col, "simhash",
              F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    from ..staging import stage
     n_parts = stacked.sparkSession.sparkContext.defaultParallelism
-    stacked = stacked.repartition(n_parts, "band", "bv").localCheckpoint()
+    stacked = stage(stacked.repartition(n_parts, "band", "bv"),
+                    "simhash_bands")
     left = stacked.select(F.col(id_col).alias("doc_a"),
                           F.col("simhash").alias("__sa"), "band", "bv")
     right = stacked.select(F.col(id_col).alias("doc_b"),

@@ -476,14 +476,16 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
     rungs = sorted(r for r in rungs if r < radius_deg)
     parts = []
     live = queries
+    from ..staging import stage
     for r in rungs:
-        # localCheckpoint (eager): materialize once, truncate lineage;
-        # blocks are released by the ContextCleaner when the plan is
-        # GC'd — unlike persist(), nothing accumulates across calls in
-        # a long-lived session.
-        near = _knn_core(points, live, k, r, plan,
-                         point_x, point_y, query_x, query_y, query_id,
-                         tie_break).localCheckpoint()
+        # eager materialization: run the rung once, truncate lineage.
+        # In-memory this is localCheckpoint (blocks released by the
+        # ContextCleaner when the plan is GC'd); with
+        # spark.spatial4n.stageDir set it routes through parquet so a
+        # huge query side never pins rung results in executor memory.
+        near = stage(_knn_core(points, live, k, r, plan,
+                               point_x, point_y, query_x, query_y,
+                               query_id, tie_break), "knn_rung")
         solved = (near.groupBy(query_id).agg(F.count("*").alias("__cnt"))
                       .where(F.col("__cnt") >= k).select(query_id))
         parts.append(near.join(F.broadcast(solved), query_id, "leftsemi"))

@@ -88,9 +88,12 @@ def knn_ring_join(points: DataFrame, queries: DataFrame, k: int,
     query set) through parquet instead of localCheckpoint — spill-safe
     when the query side is huge (pinned checkpoint blocks would hold
     every round's <= |live| x k rows in executor memory). Results are
-    identical; None (default) keeps the in-memory path.
+    identical; None (default) defers to the session default
+    `spark.spatial4n.stageDir`, else the in-memory path.
     """
+    from ..staging import resolve_stage_dir
     spark = points.sparkSession
+    stage_dir = resolve_stage_dir(spark, stage_dir)
 
     def _materialize(df: DataFrame, name: str) -> DataFrame:
         if stage_dir is None:

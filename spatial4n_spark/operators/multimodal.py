@@ -37,6 +37,18 @@ try:  # real codecs light up automatically when present
 except ImportError:
     _HAVE_PIL = False
 
+try:  # audio: WAV / FLAC / OGG via libsndfile
+    import soundfile as _soundfile  # noqa: F401
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+try:  # video: MP4 / MKV / WebM via ffmpeg bindings
+    import av as _av  # noqa: F401
+    _HAVE_AV = True
+except ImportError:
+    _HAVE_AV = False
+
 _MAGIC = b"FAKE"
 
 META_SCHEMA = StructType([
@@ -131,20 +143,82 @@ def generate_media(spark: SparkSession, refs: DataFrame | None = None,
 # decode
 # --------------------------------------------------------------------------
 
+def _sniff_container(content: bytes) -> str:
+    """Container sniff by magic bytes -> 'image' | 'audio' | 'video' |
+    'unknown'. Real payloads carry no engine-side modality tag; the
+    byte signature decides which codec family handles the row."""
+    if (content[:8] == b"\x89PNG\r\n\x1a\n" or content[:2] == b"\xff\xd8"
+            or content[:6] in (b"GIF87a", b"GIF89a")
+            or content[:2] == b"BM"
+            or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")):
+        return "image"
+    if ((content[:4] == b"RIFF" and content[8:12] == b"WAVE")
+            or content[:4] == b"fLaC" or content[:4] == b"OggS"):
+        return "audio"
+    if content[4:8] == b"ftyp" or content[:4] == b"\x1aE\xdf\xa3":
+        return "video"
+    return "unknown"
+
+
+def _decode_real(content: bytes) -> tuple[int, np.ndarray, tuple]:
+    """Real-codec decode path (import-try gated): PIL for images,
+    soundfile for audio, av (ffmpeg) for video. Each family raises
+    NotImplementedError naming the missing library when its codec is
+    absent — the container this engine is developed in ships none of
+    them, so the FAKE codec carries all tests; the Spark-side plumbing
+    (schema, Arrow batch shape, sample layout) is identical either way.
+
+    Layout contracts match the FAKE codec: image samples are row-major
+    (height, width, channels) raveled in [0,1); audio samples are
+    mono-mixed and shifted from [-1,1] to [0,1); video samples are
+    per-frame mean-channel luma raveled frame-major."""
+    kind = _sniff_container(content)
+    if kind == "image":
+        if not _HAVE_PIL:
+            raise NotImplementedError(
+                "image decode needs PIL (not in container); "
+                f"got {len(content)}-byte image payload")
+        import io
+        img = _PIL_Image.open(io.BytesIO(content))
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return 0, arr.ravel(), (img.width, img.height,
+                                len(img.getbands()))
+    if kind == "audio":
+        if not _HAVE_SOUNDFILE:
+            raise NotImplementedError(
+                "audio decode needs soundfile (not in container); "
+                f"got {len(content)}-byte audio payload")
+        import io
+        data, sr = _soundfile.read(io.BytesIO(content), dtype="float32")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        samples = np.clip((data + 1.0) / 2.0, 0.0, np.nextafter(1.0, 0.0))
+        return 1, samples.astype(np.float32), (int(sr), len(samples), 1)
+    if kind == "video":
+        if not _HAVE_AV:
+            raise NotImplementedError(
+                "video decode needs av/ffmpeg (not in container); "
+                f"got {len(content)}-byte video payload")
+        import io
+        frames = []
+        w = h = 0
+        with _av.open(io.BytesIO(content)) as cont:
+            for frame in cont.decode(video=0):
+                arr = frame.to_ndarray(format="rgb24").astype(np.float32)
+                w, h = frame.width, frame.height
+                frames.append((arr / 255.0).mean(axis=2).ravel())
+        body = (np.concatenate(frames) if frames
+                else np.empty(0, dtype=np.float32))
+        return 2, body.astype(np.float32), (w, h, len(frames))
+    raise NotImplementedError(
+        "unrecognized media container (no FAKE header, no known "
+        f"image/audio/video magic) in {len(content)}-byte payload")
+
+
 def _decode_samples(content: bytes) -> tuple[int, np.ndarray, tuple]:
     """content -> (modality_code, float32 samples in [0,1), header dims)."""
     if content[:4] != _MAGIC:
-        if _HAVE_PIL:
-            import io
-            img = _PIL_Image.open(io.BytesIO(content))  # real path
-            # sample order is ALWAYS row-major (height, width, channels)
-            # raveled — resize_images reshapes with the same layout
-            arr = np.asarray(img, dtype=np.float32) / 255.0
-            return 0, arr.ravel(), (img.width, img.height,
-                                    len(img.getbands()))
-        raise NotImplementedError(
-            "real media decode needs PIL/soundfile/av (not in container); "
-            f"got non-FAKE payload of {len(content)} bytes")
+        return _decode_real(content)
     kind = content[4]
     if kind == 0:
         w, h, c = _struct.unpack(">HHH", content[5:11])

@@ -121,3 +121,81 @@ def test_frame_sampling_slices(decoded):
             want = full[r.frame_idx * px:(r.frame_idx + 1) * px]
             assert np.array_equal(
                 np.asarray(r.frame_samples, dtype=np.float32), want)
+
+
+# ---------------------------------------------------------------------------
+# round 5: real-codec dispatch (import-try gated) — mock module injection
+# ---------------------------------------------------------------------------
+
+def test_sniff_container_magic_bytes():
+    assert mm._sniff_container(b"\x89PNG\r\n\x1a\n----") == "image"
+    assert mm._sniff_container(b"\xff\xd8\xff\xe0rest") == "image"
+    assert mm._sniff_container(b"RIFF????WAVEfmt ") == "audio"
+    assert mm._sniff_container(b"fLaC----") == "audio"
+    assert mm._sniff_container(b"OggS----") == "audio"
+    assert mm._sniff_container(b"????ftypisom") == "video"
+    assert mm._sniff_container(b"\x1aE\xdf\xa3----") == "video"
+    assert mm._sniff_container(b"garbage") == "unknown"
+
+
+def test_real_decode_raises_per_family_when_libs_absent(monkeypatch):
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", False)
+    monkeypatch.setattr(mm, "_HAVE_AV", False)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm._decode_real(b"\x89PNG\r\n\x1a\n----")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        mm._decode_real(b"RIFF????WAVEfmt ")
+    with pytest.raises(NotImplementedError, match="av/ffmpeg"):
+        mm._decode_real(b"????ftypisom")
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        mm._decode_real(b"not-a-container")
+
+
+def test_real_audio_decode_dispatches_to_mock_soundfile(monkeypatch):
+    """Inject a fake soundfile module: the dispatch must route WAV
+    payloads to it and normalize [-1,1] stereo to mono [0,1)."""
+    class FakeSF:
+        @staticmethod
+        def read(fh, dtype="float32"):
+            data = np.array([[-1.0, 1.0], [0.0, 0.5]], dtype=np.float32)
+            return data, 16000
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", True)
+    monkeypatch.setattr(mm, "_soundfile", FakeSF, raising=False)
+    code, samples, dims = mm._decode_real(b"RIFF????WAVEfmt payload")
+    assert code == 1 and dims == (16000, 2, 1)
+    assert samples == pytest.approx([0.5, 0.625])
+    assert samples.max() < 1.0  # [0,1) contract like the FAKE codec
+
+
+def test_real_image_decode_dispatches_to_mock_pil(monkeypatch):
+    class FakeImg:
+        width, height = 2, 1
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def __array__(self, dtype=None, copy=None):
+            return np.arange(6, dtype=np.float32).reshape(1, 2, 3)
+    class FakePIL:
+        @staticmethod
+        def open(fh):
+            return FakeImg()
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    monkeypatch.setattr(mm, "_PIL_Image", FakePIL, raising=False)
+    code, samples, dims = mm._decode_real(b"\xff\xd8\xff\xe0jpegbody")
+    assert code == 0 and dims == (2, 1, 3)
+    assert samples == pytest.approx(np.arange(6) / 255.0)
+
+
+def test_fake_codec_never_routes_to_real_path(monkeypatch):
+    """FAKE-header payloads must decode identically with or without
+    real codec libs present (flag flip cannot change results)."""
+    _, payload, _ = mm._fake_payload("media://item/42")
+    base = mm._decode_samples(payload)
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", True)
+    monkeypatch.setattr(mm, "_HAVE_AV", True)
+    again = mm._decode_samples(payload)
+    assert base[0] == again[0] and base[2] == again[2]
+    assert np.array_equal(base[1], again[1])
