@@ -1183,21 +1183,44 @@ def st_intersection(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
     exact MEASURE for those inputs is `st_intersection_area` /
     `st_overlay_measure`, which has no such bailout."""
     from ..kernels.booleans import intersect_evenodd
+    return _boolean_geometry_frame(
+        intersect_evenodd,
+        (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+
+
+@pandas_udf(SHAPE_SCHEMA)
+def st_difference(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
+                  aminy: pd.Series, amaxy: pd.Series, axs: pd.Series,
+                  ays: pd.Series, aro: pd.Series,
+                  bkind: pd.Series, bminx: pd.Series, bmaxx: pd.Series,
+                  bminy: pd.Series, bmaxy: pd.Series, bxs: pd.Series,
+                  bys: pd.Series, bro: pd.Series) -> pd.DataFrame:
+    """Difference GEOMETRY A \\ B as a shape struct (round 5 —
+    completes the boolean set: union at parse/dissolve, intersection,
+    difference). Same input coverage and error contract as
+    `st_intersection`; kernels/booleans.difference_evenodd. The scalar
+    twin `st_difference_area` remains the no-bailout MEASURE."""
+    from ..kernels.booleans import difference_evenodd
+    return _boolean_geometry_frame(
+        difference_evenodd,
+        (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+
+
+def _boolean_geometry_frame(op, a_cols, b_cols) -> pd.DataFrame:
+    """Shared per-row driver for the boolean geometry UDFs: shape
+    structs -> even-odd rings -> member op -> closed-ring struct."""
+    akind = a_cols[0]
     rows = []
     for i in range(len(akind)):
         try:
-            rings_a = _evenodd_rings(akind.iloc[i], aminx.iloc[i],
-                                     amaxx.iloc[i], aminy.iloc[i],
-                                     amaxy.iloc[i], axs.iloc[i],
-                                     ays.iloc[i], aro.iloc[i])
-            rings_b = _evenodd_rings(bkind.iloc[i], bminx.iloc[i],
-                                     bmaxx.iloc[i], bminy.iloc[i],
-                                     bmaxy.iloc[i], bxs.iloc[i],
-                                     bys.iloc[i], bro.iloc[i])
+            rings_a = _evenodd_rings(*(c.iloc[i] for c in a_cols))
+            rings_b = _evenodd_rings(*(c.iloc[i] for c in b_cols))
         except ValueError as e:
             rows.append(dict(_EMPTY_ROW, error=str(e)))
             continue
-        members = intersect_evenodd(rings_a, rings_b)
+        members = op(rings_a, rings_b)
         if members is None:
             rows.append(dict(_EMPTY_ROW,
                              error="degenerate boundary contact"))
@@ -1598,6 +1621,7 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_relate_polygon_polygon": st_relate_polygon_polygon,
         "st_intersection_area": st_intersection_area,
         "st_intersection": st_intersection,
+        "st_difference": st_difference,
         "st_overlay_measure": st_overlay_measure,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,

@@ -88,15 +88,13 @@ def _split_shells_holes(pieces):
     return shells, holes
 
 
-def _member_intersection(sa, ha, sb, hb):
-    """One member pair -> list of output members, or None on
-    degenerate contact."""
-    cores = intersect_rings(sa[0], sa[1], sb[0], sb[1])
-    if cores is None:
-        return None
+def _cores_minus_holes(cores, holes):
+    """Region (⊔ cores) \\ (⋃ holes) as a member list, or None on
+    degenerate contact. Cores must be disjoint simple rings; holes of
+    one origin set are disjoint, but the combined list may overlap —
+    it is unioned first so even-odd parity never double-flips."""
     if not cores:
         return []
-    holes = ha + hb
     prim, pock = [], []
     if len(holes) == 1:
         prim = [holes[0]]
@@ -137,6 +135,51 @@ def _member_intersection(sa, ha, sb, hb):
             for s2 in isl:
                 out_members.append((s2, []))
     return out_members
+
+
+def _member_intersection(sa, ha, sb, hb):
+    """One member pair -> list of output members, or None on
+    degenerate contact: (Sa ∩ Sb) \\ (Ha ∪ Hb)."""
+    cores = intersect_rings(sa[0], sa[1], sb[0], sb[1])
+    if cores is None:
+        return None
+    return _cores_minus_holes(cores, ha + hb)
+
+
+def difference_evenodd(rings_a, rings_b):
+    """Exact difference geometry A \\ B of two even-odd ring sets.
+
+    Distributes over A's members; B's members subtract sequentially
+    (they are interior-disjoint). One step is
+
+        M \\ (T \\ Ht) = (M \\ T)  ⊔  ⊔_j (M ∩ Ht_j)
+
+    — the piece of M outside N's shell, plus the pieces of M inside
+    N's holes (disjoint by construction). M \\ T reuses the
+    cores-minus-holes machinery with T joined to M's own hole set;
+    M ∩ Ht_j is a member intersection with the hole as a plain disk.
+    Returns a member list like intersect_evenodd, [] when B covers A,
+    or None on degenerate boundary contact anywhere.
+    """
+    ma = members_of(rings_a)
+    mb = members_of(rings_b)
+    if ma is None or mb is None:
+        return None
+    work = ma
+    for tb, ht in mb:
+        new_work = []
+        for sh, hs in work:
+            outside = _cores_minus_holes([sh], hs + [tb])
+            if outside is None:
+                return None
+            new_work.extend(outside)
+            for hj in ht:
+                inside_hole = _member_intersection(sh, hs, hj, [])
+                if inside_hole is None:
+                    return None
+                new_work.extend(inside_hole)
+        work = new_work
+    return work
 
 
 def intersect_evenodd(rings_a, rings_b):

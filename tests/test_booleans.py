@@ -177,3 +177,44 @@ def test_intersect_evenodd_degenerate_bails():
     a = (np.array([0.0, 2, 2, 0]), np.array([0.0, 0, 2, 2]))
     b = (np.array([2.0, 4, 4, 2]), np.array([0.0, 0, 2, 2]))
     assert intersect_evenodd([a], [b]) is None
+
+
+def test_difference_evenodd_randomized_parity():
+    """A \\ B over random holed shapes: probe parity matches
+    (in A) and not (in B)."""
+    from spatial4n_spark.kernels.booleans import difference_evenodd
+    rng = np.random.default_rng(11)
+    checked = pairs = 0
+    for _ in range(100):
+        A = _rand_shape(rng, 0, 0)
+        B = _rand_shape(rng, rng.uniform(-5, 5), rng.uniform(-5, 5))
+        res = difference_evenodd(A, B)
+        if res is None:
+            continue
+        pairs += 1
+        flat = []
+        for sh, hl in res:
+            flat.append(sh)
+            flat.extend(hl)
+        for _ in range(30):
+            px, py = rng.uniform(-11, 11), rng.uniform(-11, 11)
+            if _near_any(px, py, A) or _near_any(px, py, B):
+                continue
+            want = _parity(px, py, A) == 1 and _parity(px, py, B) == 0
+            assert (_parity(px, py, flat) == 1) == want, (px, py)
+            checked += 1
+    assert pairs > 70 and checked > 1200
+
+
+def test_difference_evenodd_hole_donation():
+    """Subtracting a member whose HOLE overlaps A: the region of A
+    inside B's hole survives (M ∩ Ht piece)."""
+    from spatial4n_spark.kernels.booleans import difference_evenodd
+    A = [(np.array([2.0, 8, 8, 2]), np.array([2.0, 2, 8, 8]))]
+    B = [(np.array([0.0, 10, 10, 0]), np.array([0.0, 0, 10, 10])),
+         (np.array([4.0, 6, 6, 4]), np.array([4.0, 4, 6, 6]))]
+    res = difference_evenodd(A, B)
+    assert res is not None and len(res) == 1
+    flat = [res[0][0]] + res[0][1]
+    assert _parity(5, 5, flat) == 1      # inside B's hole -> survives
+    assert _parity(3, 3, flat) == 0      # covered by B proper -> gone

@@ -376,3 +376,46 @@ def test_unsupported_and_crossing_inputs_raise(spark):
     with pytest.raises(Exception, match="got kind 3"):
         overlay_intersection_join(left_circle, right, precision=2,
                                   keep_zero=True).collect()
+
+
+def test_st_difference_geometry(spark):
+    """st_difference (round 5): geometry output matches the scalar
+    st_difference_area measure and even-odd expectations."""
+    cases = [
+        # corner overlap -> L-shaped remainder, area 3
+        ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))", 7, 3.0),
+        # B strictly inside A -> A with a hole
+        ("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0))",
+         "POLYGON((4 4, 5 4, 5 5, 4 5, 4 4))", 7, 80.0),
+        # bar through the middle -> split in two
+        ("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON((-1 4, 11 4, 11 6, -1 6, -1 4))", 8, 80.0),
+        # disjoint -> A unchanged
+        ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))", 7, 4.0),
+        # B covers A -> EMPTY
+        ("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))",
+         "POLYGON((0 0, 3 0, 3 3, 0 3, 0 0))", 0, None),
+    ]
+    df = spark.createDataFrame(cases, "awkt string, bwkt string,"
+                               " ekind int, earea double")
+    df = df.select("ekind", "earea",
+                   SF.st_from_wkt(F.col("awkt")).alias("a"),
+                   SF.st_from_wkt(F.col("bwkt")).alias("b"))
+    sa, sb = F.col("a"), F.col("b")
+    args = [sa["kind"], sa["minx"], sa["maxx"], sa["miny"], sa["maxy"],
+            sa["xs"], sa["ys"], sa["ring_offsets"],
+            sb["kind"], sb["minx"], sb["maxx"], sb["miny"], sb["maxy"],
+            sb["xs"], sb["ys"], sb["ring_offsets"]]
+    rows = df.withColumn("d", SF.st_difference(*args)) \
+             .select("ekind", "earea", "d").collect()
+    from spatial4n_spark.kernels.overlay import polygon_area_evenodd
+    for r in rows:
+        d = r["d"]
+        assert d["kind"] == r["ekind"], r
+        if r["ekind"] != 0:
+            got = polygon_area_evenodd(np.asarray(d["xs"]),
+                                       np.asarray(d["ys"]),
+                                       d["ring_offsets"])
+            assert got == pytest.approx(r["earea"], abs=1e-9)
