@@ -1208,6 +1208,27 @@ def st_difference(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
         (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
 
 
+@pandas_udf(SHAPE_SCHEMA)
+def st_union(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
+             aminy: pd.Series, amaxy: pd.Series, axs: pd.Series,
+             ays: pd.Series, aro: pd.Series,
+             bkind: pd.Series, bminx: pd.Series, bmaxx: pd.Series,
+             bminy: pd.Series, bmaxy: pd.Series, bxs: pd.Series,
+             bys: pd.Series, bro: pd.Series) -> pd.DataFrame:
+    """Union GEOMETRY A ∪ B as a shape struct (round 5). REGION-exact
+    for concave/holed/multipart/paged pairs (even-odd parity == in-A
+    or in-B); the boundary keeps seam arcs where B\\A pieces meet ∂A —
+    see kernels/booleans.union_evenodd. For a clean dissolved boundary
+    on crossing single-ring members use `dissolve` / the parser's
+    multi-overlap union; same degenerate-contact error contract as
+    st_intersection."""
+    from ..kernels.booleans import union_evenodd
+    return _boolean_geometry_frame(
+        union_evenodd,
+        (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+
+
 def _boolean_geometry_frame(op, a_cols, b_cols) -> pd.DataFrame:
     """Shared per-row driver for the boolean geometry UDFs: shape
     structs -> even-odd rings -> member op -> closed-ring struct."""
@@ -1622,6 +1643,7 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_intersection_area": st_intersection_area,
         "st_intersection": st_intersection,
         "st_difference": st_difference,
+        "st_union": st_union,
         "st_overlay_measure": st_overlay_measure,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,

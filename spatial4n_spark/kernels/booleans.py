@@ -182,6 +182,62 @@ def difference_evenodd(rings_a, rings_b):
     return work
 
 
+def union_evenodd(rings_a, rings_b):
+    """Union geometry A ∪ B of two even-odd ring sets, as
+    A ⊔ (B \\ A) — members of A plus the pieces of B outside A.
+
+    REGION-exact: even-odd parity over the output rings equals
+    (in A) or (in B) everywhere off the boundaries. The boundary is
+    NOT canonical: where B \\ A pieces meet A, their rings run along
+    ∂A inside the union (seam arcs) instead of being dissolved away —
+    fine for PIP/area/parity consumers; use the parser's
+    `_resolve_multi_overlap` / `dissolve` when a clean dissolved
+    boundary is required (single-ring crossings get exact GH unions
+    there). Returns a member list, or None on degenerate contact.
+    """
+    ma = members_of(rings_a)
+    if ma is None:
+        return None
+    rest = difference_evenodd(rings_b, rings_a)
+    if rest is None:
+        return None
+    out = [(sh, list(hl)) for sh, hl in ma + rest]
+    # cancel coincident hole/shell pairs: a hole of A fully covered by
+    # B comes back as a B\A piece whose shell is the IDENTICAL ring —
+    # parity-correct but per-ring signs (area, orientation) become
+    # ill-defined on coincident curves. Fill the hole structurally:
+    # drop both rings, promote the piece's holes into the member.
+    changed = True
+    while changed:
+        changed = False
+        for mi, (sh, hl) in enumerate(out):
+            for hi, h in enumerate(hl):
+                key = _canon_cycle(*h)
+                hit = next((pj for pj, (psh, _) in enumerate(out)
+                            if pj != mi and _canon_cycle(*psh) == key),
+                           None)
+                if hit is not None:
+                    hl.pop(hi)
+                    hl.extend(out[hit][1])
+                    out.pop(hit)
+                    changed = True
+                    break
+            if changed:
+                break
+    return out
+
+
+def _canon_cycle(rx, ry):
+    """Orientation- and rotation-independent canonical form of a ring
+    (open vertex list) for exact-coincidence tests."""
+    pts = list(zip(rx.tolist(), ry.tolist()))
+    n = len(pts)
+    k = min(range(n), key=lambda i: pts[i])
+    fwd = tuple(pts[(k + i) % n] for i in range(n))
+    rev = tuple(pts[(k - i) % n] for i in range(n))
+    return min(fwd, rev)
+
+
 def intersect_evenodd(rings_a, rings_b):
     """Exact intersection geometry of two even-odd ring sets.
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .binary import _ring_contains_point
 from .normalize import norm_lon_deg
 
 
@@ -47,20 +46,23 @@ def rect_center(minx, maxx, miny, maxy):
 
 
 def _ring_even_odd_signs(rings):
-    """+1 for rings at even nesting depth (shells), -1 for odd (holes),
-    classified by each ring's first vertex against every other ring —
-    the same even-odd rule as the record's PIP semantics and
-    binary._nest_rings."""
+    """+1 for rings at even nesting depth (shells), -1 for odd (holes)
+    — the same even-odd rule as the record's PIP semantics and
+    binary._nest_rings. Ring containment goes through the
+    distance-guarded probe (overlay._ring_contained_in, r5): rings out
+    of the boolean-geometry kernels start at crossing points that sit
+    ON another ring's boundary within float rounding, where the old
+    first-vertex probe coin-flipped."""
+    from .overlay import _ring_contained_in
     n = len(rings)
     signs = np.ones(n)
     if n <= 1:
         return signs
     for i in range(n):
-        xi, yi = rings[i]
         depth = 0
         for j in range(n):
-            if i != j and _ring_contains_point(rings[j][0], rings[j][1],
-                                               xi[0], yi[0]):
+            if i != j and _ring_contained_in(rings[i][0], rings[i][1],
+                                             rings[j][0], rings[j][1]):
                 depth += 1
         if depth % 2 == 1:
             signs[i] = -1.0

@@ -94,27 +94,74 @@ def _ring_signs(rings):
     for i, (rx, ry) in enumerate(rings):
         stored = np.sum(rx * np.roll(ry, -1) - np.roll(rx, -1) * ry)
         stored_sign = 1.0 if stored >= 0.0 else -1.0
-        # depth: even-odd count of OTHER rings containing a point of
-        # this ring. A vertex can sit on another ring's boundary
-        # (touching hole): fall back to the first edge's midpoint.
+        # depth: number of OTHER rings properly CONTAINING this ring.
+        # Vertex probes are unreliable — GH-output rings
+        # (st_intersection / union_evenodd) start at crossing points
+        # that sit on another boundary within float rounding, and
+        # seam-touching siblings (a nested piece hugging part of this
+        # ring) contaminate any single global probe. Decide each
+        # (ring, other) pair with its own distance-guarded interior
+        # probe instead (r5 fix; nesting-only inputs behave as before).
         depth = 0
-        for cand in ((rx[0], ry[0]),
-                     ((rx[0] + rx[1]) / 2.0, (ry[0] + ry[1]) / 2.0)):
-            depth = 0
-            on_any = False
-            for j, (ox, oy) in enumerate(rings):
-                if j == i:
-                    continue
-                par, bnd = _parity_and_boundary(
-                    np.asarray([cand[0]]), np.asarray([cand[1]]),
-                    ox, oy, np.roll(ox, -1), np.roll(oy, -1))
-                on_any |= bool(bnd[0])
-                depth += int(par[0])
-            if not on_any:
-                break
+        for j, (ox, oy) in enumerate(rings):
+            if j != i and _ring_contained_in(rx, ry, ox, oy):
+                depth += 1
         required = 1.0 if depth % 2 == 0 else -1.0
         signs.append(required * stored_sign)
     return signs
+
+
+def _ring_contained_in(rx, ry, ox, oy) -> bool:
+    """True iff ring (rx, ry) lies inside ring (ox, oy). Valid for
+    even-odd arrangements: the rings never properly cross, but may
+    share seam arcs (union_evenodd output) or start-vertices on each
+    other's boundary (GH crossings). Probes are offset strictly inside
+    (rx, ry) and must clear the other ring's edges by half the offset
+    before their parity is trusted; falls back to the first-vertex
+    parity when every probe hugs the other boundary. A probe of R
+    landing in O is necessary but not sufficient (a SMALLER O nested
+    inside R can cover the probe strip along ∂R), so containment
+    additionally requires |area(R)| < |area(O)| — for non-crossing
+    rings the container is always the larger."""
+    a_r = abs(float(np.sum(rx * np.roll(ry, -1) - np.roll(rx, -1) * ry)))
+    a_o = abs(float(np.sum(ox * np.roll(oy, -1) - np.roll(ox, -1) * oy)))
+    if a_r >= a_o:
+        return False
+    n = len(rx)
+    ex = np.roll(rx, -1) - rx
+    ey = np.roll(ry, -1) - ry
+    elen = np.hypot(ex, ey)
+    order = np.argsort(-elen)
+    o2x, o2y = np.roll(ox, -1), np.roll(oy, -1)
+    dx, dy = o2x - ox, o2y - oy
+    L2 = dx * dx + dy * dy
+    L2s = np.where(L2 == 0.0, 1.0, L2)
+    for k in order[:min(12, n)]:
+        if elen[k] == 0.0:
+            continue
+        mx = rx[k] + ex[k] / 2.0
+        my = ry[k] + ey[k] / 2.0
+        nx, ny = ey[k] / elen[k], -ex[k] / elen[k]
+        for eps in (elen[k] * 1e-6, elen[k] * 1e-3):
+            for s in (1.0, -1.0):
+                qx, qy = mx + s * eps * nx, my + s * eps * ny
+                par, bnd = _parity_and_boundary(
+                    np.asarray([qx]), np.asarray([qy]),
+                    rx, ry, np.roll(rx, -1), np.roll(ry, -1))
+                if not par[0] or bnd[0]:
+                    continue  # wrong side / still on own boundary
+                t = np.clip(((qx - ox) * dx + (qy - oy) * dy) / L2s,
+                            0.0, 1.0)
+                d2 = (qx - (ox + t * dx)) ** 2 + (qy - (oy + t * dy)) ** 2
+                if float(d2.min()) <= (eps * 0.5) ** 2:
+                    continue  # hugs the other boundary — inconclusive
+                par_o, _ = _parity_and_boundary(
+                    np.asarray([qx]), np.asarray([qy]),
+                    ox, oy, o2x, o2y)
+                return bool(par_o[0])
+    par_o, _ = _parity_and_boundary(
+        np.asarray([rx[0]]), np.asarray([ry[0]]), ox, oy, o2x, o2y)
+    return bool(par_o[0])
 
 
 def _half_contribution(rings_p, other_edges):

@@ -218,3 +218,43 @@ def test_difference_evenodd_hole_donation():
     flat = [res[0][0]] + res[0][1]
     assert _parity(5, 5, flat) == 1      # inside B's hole -> survives
     assert _parity(3, 3, flat) == 0      # covered by B proper -> gone
+
+
+def test_union_evenodd_randomized_parity_and_area():
+    """A ∪ B over random holed shapes: parity == (in A) or (in B);
+    area(union) == aA + aB − intersection_area (inclusion-exclusion
+    against the independent overlay kernel)."""
+    from spatial4n_spark.kernels.booleans import union_evenodd
+    rng = np.random.default_rng(21)
+    checked = pairs = 0
+    for _ in range(100):
+        A = _rand_shape(rng, 0, 0)
+        B = _rand_shape(rng, rng.uniform(-5, 5), rng.uniform(-5, 5))
+        res = union_evenodd(A, B)
+        if res is None:
+            continue
+        pairs += 1
+        flat = []
+        for sh, hl in res:
+            flat.append(sh)
+            flat.extend(hl)
+        for _ in range(30):
+            px, py = rng.uniform(-11, 11), rng.uniform(-11, 11)
+            if _near_any(px, py, A) or _near_any(px, py, B):
+                continue
+            want = _parity(px, py, A) == 1 or _parity(px, py, B) == 1
+            assert (_parity(px, py, flat) == 1) == want, (px, py)
+            checked += 1
+
+        def _pack(rl):
+            xs = np.concatenate([r[0] for r in rl])
+            ys = np.concatenate([r[1] for r in rl])
+            off = np.cumsum([0] + [len(r[0]) for r in rl])
+            return xs, ys, off
+        a_area = polygon_area_evenodd(*_pack(A))
+        b_area = polygon_area_evenodd(*_pack(B))
+        inter = intersection_area(*_pack(A), *_pack(B))
+        got = polygon_area_evenodd(*_pack(flat))
+        assert got == pytest.approx(a_area + b_area - inter,
+                                    rel=1e-9, abs=1e-12)
+    assert pairs > 70 and checked > 1200

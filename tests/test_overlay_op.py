@@ -419,3 +419,40 @@ def test_st_difference_geometry(spark):
                                        np.asarray(d["ys"]),
                                        d["ring_offsets"])
             assert got == pytest.approx(r["earea"], abs=1e-9)
+
+
+def test_st_union_geometry(spark):
+    """st_union (round 5): region-exact union geometry — st_area over
+    the output equals inclusion-exclusion of the inputs."""
+    cases = [
+        # overlapping squares: 4 + 4 - 1
+        ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))", 7.0),
+        # disjoint: two members
+        ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON((5 5, 7 5, 7 7, 5 7, 5 5))", 8.0),
+        # B fills A's hole: 81 - 1 + 1
+        ("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0),(4 4, 5 4, 5 5, 4 5, 4 4))",
+         "POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))", 81.0),
+        # B inside A: union is just A
+        ("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0))",
+         "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))", 81.0),
+    ]
+    df = spark.createDataFrame(cases, "awkt string, bwkt string, earea double")
+    df = df.select("earea",
+                   SF.st_from_wkt(F.col("awkt")).alias("a"),
+                   SF.st_from_wkt(F.col("bwkt")).alias("b"))
+    sa, sb = F.col("a"), F.col("b")
+    u = SF.st_union(
+        sa["kind"], sa["minx"], sa["maxx"], sa["miny"], sa["maxy"],
+        sa["xs"], sa["ys"], sa["ring_offsets"],
+        sb["kind"], sb["minx"], sb["maxx"], sb["miny"], sb["maxy"],
+        sb["xs"], sb["ys"], sb["ring_offsets"])
+    rows = df.withColumn("u", u).select("earea", "u").collect()
+    from spatial4n_spark.kernels.area import polygon_area_euclid
+    for r in rows:
+        assert r["u"]["kind"] in (7, 8) and r["u"]["error"] is None
+        got = polygon_area_euclid(np.asarray(r["u"]["xs"]),
+                                  np.asarray(r["u"]["ys"]),
+                                  r["u"]["ring_offsets"])
+        assert got == pytest.approx(r["earea"], abs=1e-9), r
