@@ -2719,6 +2719,54 @@ def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2x, v2y = F.col("cx") + 24.000713, F.col("cy") - 10.000357
     d_ = F.col("d")
 
+    # --- round-5 family: EXACT concave (L-shape) buffer, driver-checked.
+    # The L varies only with (jv, dv) modulo translation, so the
+    # strip-union kernel runs once per combo (<= 35 rows, local frame at
+    # the origin) and broadcast-joins back — buffers commute with
+    # translation exactly. Columns verify: analytic bbox, single output
+    # ring, notch coverage near the reflex corner (IN at 0.35d diagonal),
+    # the DEEP notch staying uncovered (the r4 hull superset covered it —
+    # this column is the driver-level proof of r5 exactness), and the
+    # convex-vertex arc at 0.99d/1.01d (inside the 32-gon inscription
+    # margin cos(pi/32) = 0.99518).
+    combos = sup.selectExpr("s_suppkey % 5 AS jv", "s_suppkey % 7 AS dv") \
+                .distinct()
+    lwj = F.expr(
+        "concat('POLYGON((0 0, ', cast((12.0 + jv * 0.26) as string),"
+        " ' 0, ', cast((12.0 + jv * 0.26) as string), ' 4, 5 4, 5 10,"
+        " 0 10, 0 0))')")
+    combos = combos.withColumn("dl2", F.expr("0.4 + dv * 0.17")) \
+                   .withColumn("sg2", SF.st_from_wkt(lwj))
+    s2c = F.col("sg2")
+    bg2 = SF.st_buffer(s2c["kind"], s2c["x"], s2c["y"], s2c["radius"],
+                       s2c["minx"], s2c["maxx"], s2c["miny"], s2c["maxy"],
+                       s2c["xs"], s2c["ys"], s2c["ring_offsets"],
+                       F.col("dl2"))
+    combos = combos.withColumn("bg2", bg2)
+    dl2, sq2 = F.col("dl2"), 0.7071067811865476
+
+    def probe2(px, py):
+        return SF.st_relate_shape_point(F.col("bg2"), px, py) == 2
+    wjc = F.expr("12.0 + jv * 0.26")
+    combos = combos.select(
+        "jv", "dv", "dl2",
+        F.col("bg2.minx").alias("cbf_lminx"),
+        F.col("bg2.maxx").alias("cbf_lmaxx"),
+        F.col("bg2.miny").alias("cbf_lminy"),
+        F.col("bg2.maxy").alias("cbf_lmaxy"),
+        (F.size(F.col("bg2.ring_offsets")) - 1).cast("int")
+         .alias("cbf_rings"),
+        probe2(F.lit(5.0) + 0.35 * dl2, F.lit(4.0) + 0.35 * dl2)
+        .alias("cbf_notch_in"),
+        probe2(F.lit(8.5), F.lit(7.0)).alias("cbf_notch_out"),
+        probe2(wjc + 0.99 * dl2 * sq2, -0.99 * dl2 * sq2)
+        .alias("cbf_vtx_in"),
+        probe2(wjc + 1.01 * dl2 * sq2, -1.01 * dl2 * sq2)
+        .alias("cbf_vtx_out"))
+    out = (out.withColumn("jv", F.expr("s_suppkey % 5"))
+              .withColumn("dv", F.expr("s_suppkey % 7"))
+              .join(F.broadcast(combos), ["jv", "dv"]))
+
     def probe(px, py):
         return SF.st_relate_shape_point(F.col("bg"), px, py) == 2
     return out.select(
@@ -2742,7 +2790,13 @@ def q_buffer_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe(em_x, em_y - 0.5 * d_).alias("gb_edge_in"),
         probe(em_x, em_y - 1.5 * d_).alias("gb_edge_out"),
         probe(v2x + 0.99 * d_ * s2, v2y - 0.99 * d_ * s2).alias("gb_vtx_in"),
-        probe(v2x + 1.01 * d_ * s2, v2y - 1.01 * d_ * s2).alias("gb_vtx_out"))
+        probe(v2x + 1.01 * d_ * s2, v2y - 1.01 * d_ * s2).alias("gb_vtx_out"),
+        F.round(F.col("cx") + F.col("cbf_lminx"), 6).alias("cbf_minx"),
+        F.round(F.col("cx") + F.col("cbf_lmaxx"), 6).alias("cbf_maxx"),
+        F.round(F.col("cy") + F.col("cbf_lminy"), 6).alias("cbf_miny"),
+        F.round(F.col("cy") + F.col("cbf_lmaxy"), 6).alias("cbf_maxy"),
+        F.col("cbf_rings"), F.col("cbf_notch_in"), F.col("cbf_notch_out"),
+        F.col("cbf_vtx_in"), F.col("cbf_vtx_out"))
 
 
 _BUF_DL = ("CASE WHEN d = 0 THEN 0.0 "
@@ -2801,7 +2855,17 @@ SELECT s_suppkey,
   true AS gb_edge_in,
   false AS gb_edge_out,
   true AS gb_vtx_in,
-  false AS gb_vtx_out
+  false AS gb_vtx_out,
+  round(cx + (0.0 - (0.4 + (s_suppkey % 7) * 0.17)), 6) AS cbf_minx,
+  round(cx + ((12.0 + (s_suppkey % 5) * 0.26)
+              + (0.4 + (s_suppkey % 7) * 0.17)), 6) AS cbf_maxx,
+  round(cy + (0.0 - (0.4 + (s_suppkey % 7) * 0.17)), 6) AS cbf_miny,
+  round(cy + (10.0 + (0.4 + (s_suppkey % 7) * 0.17)), 6) AS cbf_maxy,
+  CAST(1 AS INT) AS cbf_rings,
+  true AS cbf_notch_in,
+  false AS cbf_notch_out,
+  true AS cbf_vtx_in,
+  false AS cbf_vtx_out
 FROM br
 """
 
@@ -3048,19 +3112,110 @@ FROM rels JOIN dfam ON rels.rid = dfam.rid
 def q_extent_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extent_agg + collection_relate merged wide on the nation key —
     both are 25-row nation-keyed aggregates (50-query driver cap;
-    every merged column family keeps its own oracle-verified values)."""
+    every merged column family keeps its own oracle-verified values).
+
+    Round 5: + the boolean GEOMETRY family (st_intersection /
+    st_difference / st_union over a holed polygon x crossing rect-
+    polygon, kernels/booleans member algebra). All rings are
+    axis-aligned with strictly transversal contact, so every output
+    area has a closed inclusion-exclusion form the DuckDB oracle
+    states directly; ring counts pin the member structure (C-cut
+    core, single-ring difference, 4-ring three-member union)."""
     a = q_extent_agg(spark, sf_dir)
     b = q_collection_relate(spark, sf_dir) \
         .withColumnRenamed("nationkey", "c_nationkey")
-    return a.join(b, "c_nationkey")
+    return a.join(b, "c_nationkey").join(
+        _boolean_geometry_family(spark, sf_dir), "c_nationkey")
 
+
+def _boolean_geometry_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import functions as SF
+    base = _load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS c_nationkey",
+        f"({_BG_BX}) AS bx", f"({_BG_BY}) AS by",
+        f"({_BG_J}) AS j")
+    awkt = F.expr(
+        "concat('POLYGON((',"
+        " cast(bx as string), ' ', cast(by as string), ', ',"
+        " cast((bx + 10.0 + j) as string), ' ', cast(by as string), ', ',"
+        " cast((bx + 10.0 + j) as string), ' ', cast((by + 8.0) as string),"
+        " ', ', cast(bx as string), ' ', cast((by + 8.0) as string), ', ',"
+        " cast(bx as string), ' ', cast(by as string), '),"
+        "(', cast((bx + 3.0) as string), ' ', cast((by + 3.1) as string),"
+        " ', ', cast((bx + 5.3) as string), ' ', cast((by + 3.1) as string),"
+        " ', ', cast((bx + 5.3) as string), ' ', cast((by + 5.2) as string),"
+        " ', ', cast((bx + 3.0) as string), ' ', cast((by + 5.2) as string),"
+        " ', ', cast((bx + 3.0) as string), ' ', cast((by + 3.1) as string),"
+        " '))')")
+    bwkt = F.expr(
+        "concat('POLYGON((',"
+        " cast((bx + 4.15) as string), ' ', cast((by + 1.05) as string),"
+        " ', ', cast((bx + 13.7) as string), ' ',"
+        " cast((by + 1.05) as string), ', ',"
+        " cast((bx + 13.7) as string), ' ', cast((by + 6.45) as string),"
+        " ', ', cast((bx + 4.15) as string), ' ',"
+        " cast((by + 6.45) as string), ', ',"
+        " cast((bx + 4.15) as string), ' ', cast((by + 1.05) as string),"
+        " '))')")
+    df = base.withColumn("ba", SF.st_from_wkt(awkt)) \
+             .withColumn("bb", SF.st_from_wkt(bwkt))
+    sa, sb = F.col("ba"), F.col("bb")
+    args = [sa["kind"], sa["minx"], sa["maxx"], sa["miny"], sa["maxy"],
+            sa["xs"], sa["ys"], sa["ring_offsets"],
+            sb["kind"], sb["minx"], sb["maxx"], sb["miny"], sb["maxy"],
+            sb["xs"], sb["ys"], sb["ring_offsets"]]
+    df = (df.withColumn("gi", SF.st_intersection(*args))
+            .withColumn("gd", SF.st_difference(*args))
+            .withColumn("gu", SF.st_union(*args)))
+
+    def fam(col, tag):
+        s = F.col(col)
+        return [F.round(SF.st_area(s["kind"], s["radius"], s["minx"],
+                                   s["maxx"], s["miny"], s["maxy"],
+                                   s["xs"], s["ys"], s["ring_offsets"],
+                                   geo=False), 6).alias(f"{tag}_area"),
+                (F.size(s["ring_offsets"]) - 1).cast("int")
+                .alias(f"{tag}_rings")]
+    return df.select("c_nationkey", *fam("gi", "ig"), *fam("gd", "dg"),
+                     *fam("gu", "ug"))
+
+
+_BG_BX = "(cast((n_nationkey * 13) % 40 as double) - 20.0 + 0.05)"
+_BG_BY = "(cast((n_nationkey * 7) % 30 as double) - 15.0 + 0.05)"
+_BG_J = "(cast(n_nationkey % 5 as double) * 0.3)"
 
 ORACLE_EXTENT_COLLECTION = f"""
 WITH ext AS ({ORACLE_EXTENT}),
-col AS ({ORACLE_COLLECTION})
+col AS ({ORACLE_COLLECTION}),
+bgb AS (
+  SELECT n_nationkey AS c_nationkey, ({_BG_J}) AS j FROM nation
+),
+bgf AS (
+  SELECT c_nationkey,
+    -- |R1 n R2| - |H n R2|: core (4.15..10+j) x (1.05..6.45),
+    -- hole bite (4.15..5.3) x (3.1..5.2)
+    round((10.0 + j - 4.15) * (6.45 - 1.05)
+          - (5.3 - 4.15) * (5.2 - 3.1), 6) AS ig_area,
+    CAST(1 AS INT) AS ig_rings,
+    -- |R1| - |H| - ig
+    round((10.0 + j) * 8.0 - (5.3 - 3.0) * (5.2 - 3.1)
+          - ((10.0 + j - 4.15) * (6.45 - 1.05)
+             - (5.3 - 4.15) * (5.2 - 3.1)), 6) AS dg_area,
+    CAST(1 AS INT) AS dg_rings,
+    -- |R1| - |H| + |R2| - ig
+    round((10.0 + j) * 8.0 - (5.3 - 3.0) * (5.2 - 3.1)
+          + (13.7 - 4.15) * (6.45 - 1.05)
+          - ((10.0 + j - 4.15) * (6.45 - 1.05)
+             - (5.3 - 4.15) * (5.2 - 3.1)), 6) AS ug_area,
+    CAST(4 AS INT) AS ug_rings
+  FROM bgb
+)
 SELECT ext.c_nationkey, ext.minx, ext.maxx, ext.miny, ext.maxy,
-       col.combined_rel
+       col.combined_rel,
+       bgf.ig_area, bgf.ig_rings, bgf.dg_area, bgf.dg_rings,
+       bgf.ug_area, bgf.ug_rings
 FROM ext JOIN col ON ext.c_nationkey = col.nationkey
+JOIN bgf ON ext.c_nationkey = bgf.c_nationkey
 """
 
 
