@@ -274,48 +274,61 @@ def _edge_crossings(ax, ay, bx, by):
     out = []
     point_touch = False
     line_touch = False
-    for i in range(na):
-        rx, ry = a2x[i] - ax[i], a2y[i] - ay[i]
-        qpx, qpy = bx - ax[i], by - ay[i]
-        sx, sy = b2x - bx, b2y - by
-        denom = rx * sy - ry * sx
-        t_num = qpx * sy - qpy * sx
-        u_num = qpx * ry - qpy * rx
-        with np.errstate(divide="ignore", invalid="ignore"):
+    # fully vectorized over the (na x nb) edge-pair grid, blocked so a
+    # pair of large corpus rings never materializes gigabyte grids
+    # (r5: the old per-edge-i loop paid ~40 numpy dispatches per edge —
+    # 2 ms per call, the dominant cost of every strip-union buffer /
+    # multi-overlap union / boolean-geometry op)
+    sx = (b2x - bx)[None, :]
+    sy = (b2y - by)[None, :]
+    blk = max(1, 4_000_000 // max(1, nb))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i0 in range(0, na, blk):
+            i1 = min(na, i0 + blk)
+            rx = (a2x[i0:i1] - ax[i0:i1])[:, None]
+            ry = (a2y[i0:i1] - ay[i0:i1])[:, None]
+            qpx = bx[None, :] - ax[i0:i1, None]
+            qpy = by[None, :] - ay[i0:i1, None]
+            denom = rx * sy - ry * sx
+            t_num = qpx * sy - qpy * sx
+            u_num = qpx * ry - qpy * rx
             t = t_num / denom
             u = u_num / denom
-        proper = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
-        touch = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1) \
-            & ~proper
-        if touch.any():
-            point_touch = True
-        coll = (denom == 0) & (t_num == 0)
-        if coll.any():
-            for j in np.nonzero(coll)[0]:
-                if rx != 0:
-                    lo, hi = min(ax[i], a2x[i]), max(ax[i], a2x[i])
-                    lo2, hi2 = min(bx[j], b2x[j]), max(bx[j], b2x[j])
-                else:
-                    lo, hi = min(ay[i], a2y[i]), max(ay[i], a2y[i])
-                    lo2, hi2 = min(by[j], b2y[j]), max(by[j], b2y[j])
-                if max(lo, lo2) < min(hi, hi2):
-                    line_touch = True
-                elif max(lo, lo2) == min(hi, hi2):
-                    point_touch = True
-        for j in np.nonzero(proper)[0]:
-            tt, uu = float(t[j]), float(u[j])
-            ix, iy = float(ax[i] + tt * rx), float(ay[i] + tt * ry)
-            # crossings within _BOUNDARY_EPS of any endpoint are the
-            # near-tangent slivers dateline page cuts leave at ±180 —
-            # classify as point contact, not interior overlap
-            d_end = min(np.hypot(ix - ax[i], iy - ay[i]),
-                        np.hypot(ix - a2x[i], iy - a2y[i]),
-                        np.hypot(ix - bx[j], iy - by[j]),
-                        np.hypot(ix - b2x[j], iy - b2y[j]))
-            if d_end <= _BOUNDARY_EPS:
+            nz = denom != 0
+            proper = nz & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+            if (nz & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+                    & ~proper).any():
                 point_touch = True
-                continue
-            out.append((i, tt, int(j), uu, ix, iy))
+            coll = (denom == 0) & (t_num == 0)
+            if coll.any():
+                for bi, j in zip(*np.nonzero(coll)):
+                    i = i0 + int(bi)
+                    if a2x[i] - ax[i] != 0:
+                        lo, hi = min(ax[i], a2x[i]), max(ax[i], a2x[i])
+                        lo2, hi2 = min(bx[j], b2x[j]), max(bx[j], b2x[j])
+                    else:
+                        lo, hi = min(ay[i], a2y[i]), max(ay[i], a2y[i])
+                        lo2, hi2 = min(by[j], b2y[j]), max(by[j], b2y[j])
+                    if max(lo, lo2) < min(hi, hi2):
+                        line_touch = True
+                    elif max(lo, lo2) == min(hi, hi2):
+                        point_touch = True
+            for bi, j in zip(*np.nonzero(proper)):
+                i = i0 + int(bi)
+                tt, uu = float(t[bi, j]), float(u[bi, j])
+                ix = float(ax[i] + tt * (a2x[i] - ax[i]))
+                iy = float(ay[i] + tt * (a2y[i] - ay[i]))
+                # crossings within _BOUNDARY_EPS of any endpoint are
+                # the near-tangent slivers dateline page cuts leave at
+                # ±180 — classify as point contact, not interior overlap
+                d_end = min(np.hypot(ix - ax[i], iy - ay[i]),
+                            np.hypot(ix - a2x[i], iy - a2y[i]),
+                            np.hypot(ix - bx[j], iy - by[j]),
+                            np.hypot(ix - b2x[j], iy - b2y[j]))
+                if d_end <= _BOUNDARY_EPS:
+                    point_touch = True
+                    continue
+                out.append((int(i), tt, int(j), uu, ix, iy))
     return out, point_touch, line_touch
 
 
