@@ -1229,6 +1229,24 @@ def st_union(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
         (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
 
 
+@pandas_udf(SHAPE_SCHEMA)
+def st_sym_difference(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
+                      aminy: pd.Series, amaxy: pd.Series, axs: pd.Series,
+                      ays: pd.Series, aro: pd.Series,
+                      bkind: pd.Series, bminx: pd.Series, bmaxx: pd.Series,
+                      bminy: pd.Series, bmaxy: pd.Series, bxs: pd.Series,
+                      bys: pd.Series, bro: pd.Series) -> pd.DataFrame:
+    """Symmetric difference GEOMETRY A △ B (round 5 — closes the
+    boolean algebra: union, intersection, difference, symmetric
+    difference). (A\\B) ⊔ (B\\A), disjoint member concat; same input
+    coverage and error contract as st_intersection."""
+    from ..kernels.booleans import sym_difference_evenodd
+    return _boolean_geometry_frame(
+        sym_difference_evenodd,
+        (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+
+
 def _boolean_geometry_frame(op, a_cols, b_cols) -> pd.DataFrame:
     """Shared per-row driver for the boolean geometry UDFs: shape
     structs -> even-odd rings -> member op -> closed-ring struct."""
@@ -1644,6 +1662,7 @@ def register_sql_functions(spark, prefix: str = "") -> list:
         "st_intersection": st_intersection,
         "st_difference": st_difference,
         "st_union": st_union,
+        "st_sym_difference": st_sym_difference,
         "st_overlay_measure": st_overlay_measure,
         "st_relate_polygon_rect": st_relate_polygon_rect,
         "st_relate_polygon_circle": st_relate_polygon_circle,

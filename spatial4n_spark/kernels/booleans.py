@@ -238,6 +238,20 @@ def _canon_cycle(rx, ry):
     return min(fwd, rev)
 
 
+def sym_difference_evenodd(rings_a, rings_b):
+    """Symmetric difference geometry A △ B = (A \\ B) ⊔ (B \\ A) — the
+    two operands are disjoint regions, so their member lists simply
+    concatenate. Same seam-boundary caveat as union_evenodd where a
+    piece meets the other set's boundary. None on degenerate contact."""
+    ab = difference_evenodd(rings_a, rings_b)
+    if ab is None:
+        return None
+    ba = difference_evenodd(rings_b, rings_a)
+    if ba is None:
+        return None
+    return ab + ba
+
+
 def intersect_evenodd(rings_a, rings_b):
     """Exact intersection geometry of two even-odd ring sets.
 

@@ -258,3 +258,41 @@ def test_union_evenodd_randomized_parity_and_area():
         assert got == pytest.approx(a_area + b_area - inter,
                                     rel=1e-9, abs=1e-12)
     assert pairs > 70 and checked > 1200
+
+
+def test_sym_difference_evenodd_randomized_parity():
+    """A △ B over random holed shapes: parity == (in A) XOR (in B);
+    area == aA + aB − 2·intersection."""
+    from spatial4n_spark.kernels.booleans import sym_difference_evenodd
+    rng = np.random.default_rng(31)
+    checked = pairs = 0
+    for _ in range(80):
+        A = _rand_shape(rng, 0, 0)
+        B = _rand_shape(rng, rng.uniform(-5, 5), rng.uniform(-5, 5))
+        res = sym_difference_evenodd(A, B)
+        if res is None:
+            continue
+        pairs += 1
+        flat = []
+        for sh, hl in res:
+            flat.append(sh)
+            flat.extend(hl)
+        for _ in range(25):
+            px, py = rng.uniform(-11, 11), rng.uniform(-11, 11)
+            if _near_any(px, py, A) or _near_any(px, py, B):
+                continue
+            want = (_parity(px, py, A) == 1) != (_parity(px, py, B) == 1)
+            assert (_parity(px, py, flat) == 1) == want, (px, py)
+            checked += 1
+
+        def _pack(rl):
+            xs = np.concatenate([r[0] for r in rl])
+            ys = np.concatenate([r[1] for r in rl])
+            off = np.cumsum([0] + [len(r[0]) for r in rl])
+            return xs, ys, off
+        want_area = (polygon_area_evenodd(*_pack(A))
+                     + polygon_area_evenodd(*_pack(B))
+                     - 2.0 * intersection_area(*_pack(A), *_pack(B)))
+        got = polygon_area_evenodd(*_pack(flat)) if flat else 0.0
+        assert got == pytest.approx(want_area, rel=1e-9, abs=1e-9)
+    assert pairs > 55 and checked > 800
