@@ -20,8 +20,14 @@ from __future__ import annotations
 import numpy as np
 
 
+def _roll1(a):
+    """np.roll(a, -1) without np.roll's dispatch overhead (hot path:
+    hundreds of calls per GH op on small rings)."""
+    return np.concatenate((a[1:], a[:1]))
+
+
 def _signed_area2(xs, ys) -> float:
-    return float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+    return float(np.sum(xs * _roll1(ys) - _roll1(xs) * ys))
 
 
 def _ensure_ccw(xs, ys):
@@ -146,7 +152,7 @@ def _deep_inside(px, py, mask, rings) -> bool:
         return False
     segs = []
     for xs, ys in rings:
-        x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+        x2, y2 = _roll1(xs), _roll1(ys)
         segs.append((xs, ys, x2 - xs, y2 - ys))
     for i in idx:
         best = np.inf
@@ -234,14 +240,14 @@ def _degen_interior_overlap(opened_a, opened_b) -> bool:
     def soup(rings):
         xs = np.concatenate([r[0] for r in rings])
         ys = np.concatenate([r[1] for r in rings])
-        x2 = np.concatenate([np.roll(r[0], -1) for r in rings])
-        y2 = np.concatenate([np.roll(r[1], -1) for r in rings])
+        x2 = np.concatenate([_roll1(r[0]) for r in rings])
+        y2 = np.concatenate([_roll1(r[1]) for r in rings])
         return xs, ys, x2, y2
 
     for mine, other in ((opened_a, opened_b), (opened_b, opened_a)):
         oax, oay, obx, oby = soup(other)
         for xs, ys in mine:
-            x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+            x2, y2 = _roll1(xs), _roll1(ys)
             for k in range(len(xs)):
                 ts = _edge_split_ts(xs[k], ys[k], x2[k], y2[k],
                                     oax, oay, obx, oby)
@@ -268,9 +274,16 @@ def _edge_crossings(ax, ay, bx, by):
     point_touch = finite endpoint/vertex contact (valid multipolygon
     touching, but unsupported by the union traversal); line_touch =
     collinear edges sharing positive length (invalid contact)."""
+    # one-slot memo: union_many's overlap test and the union traversal
+    # ask for the SAME pair back to back (both normalize via _open_ccw,
+    # so the arrays are value-identical) — reuse instead of recomputing
+    # the crossing grid. Single-threaded per task; one pair retained.
+    key = (ax.tobytes(), ay.tobytes(), bx.tobytes(), by.tobytes())
+    if _XC_MEMO.get("key") == key:
+        return _XC_MEMO["val"]
     na, nb = len(ax), len(bx)
-    a2x, a2y = np.roll(ax, -1), np.roll(ay, -1)
-    b2x, b2y = np.roll(bx, -1), np.roll(by, -1)
+    a2x, a2y = _roll1(ax), _roll1(ay)
+    b2x, b2y = _roll1(bx), _roll1(by)
     out = []
     point_touch = False
     line_touch = False
@@ -329,7 +342,12 @@ def _edge_crossings(ax, ay, bx, by):
                     point_touch = True
                     continue
                 out.append((int(i), tt, int(j), uu, ix, iy))
+    _XC_MEMO["key"] = key
+    _XC_MEMO["val"] = (out, point_touch, line_touch)
     return out, point_touch, line_touch
+
+
+_XC_MEMO: dict = {}
 
 
 def union_rings(ax, ay, bx, by):
@@ -526,9 +544,16 @@ def union_many(rings):
              np.asarray(ry, dtype=np.float64)) for rx, ry in rings]
     while work:
         rx, ry = work.pop(0)
+        bb = (rx.min(), rx.max(), ry.min(), ry.max())
         merged = False
         for k in range(len(out)):
             ox, oy = out[k]
+            # bbox fast reject: STRICTLY disjoint boxes can neither
+            # overlap nor touch — skip the full crossing detection
+            # (touching boxes still take the full check)
+            if (bb[0] > ox.max() or ox.min() > bb[1]
+                    or bb[2] > oy.max() or oy.min() > bb[3]):
+                continue
             overlap, degen = rings_properly_overlap(rx, ry, ox, oy)
             if degen:
                 return None
