@@ -262,3 +262,32 @@ def test_buffered_polygon_join_end_to_end(spark):
     got = sorted(r["pid"] for r in point_in_shape_join(
         pts, buffered, plan, shape_id="sid").select("pid").collect())
     assert got == [1, 2, 4], got
+
+
+def test_jagged_400_vertex_ring_exact_and_fast():
+    """Corpus-scale stress: a 400-vertex jagged concave ring buffers
+    through the strip-union path EXACTLY (no hull fallback) in seconds
+    (r5 GH optimizations: grid-vectorized crossings + memo + bbox
+    reject; 37 ms/shape -> 4 ms on small rings, ~1 s here)."""
+    import time
+    rng = np.random.default_rng(9)
+    n = 400
+    th = 2 * np.pi * np.arange(n) / n + rng.uniform(0, 0.7 * 2 * np.pi / n, n)
+    r = 20.0 + rng.uniform(-6, 6, n)
+    xs, ys = r * np.cos(th), r * np.sin(th)
+    t0 = time.time()
+    ox, oy, off, approx = buffer_polygon(xs, ys, [0, n], 1.0)
+    assert not approx
+    assert time.time() - t0 < 15.0  # generous CI bound; ~1 s measured
+    sag = 1.0 - np.cos(ARC_STEP / 2.0)
+    for _ in range(60):
+        px, py = rng.uniform(-30, 30), rng.uniform(-30, 30)
+        inp = points_in_polygon(np.array([px]), np.array([py]),
+                                xs, ys, [0, n])[0]
+        d = 0.0 if inp else _dist_to_segments(px, py, xs, ys)
+        got = points_in_polygon(np.array([px]), np.array([py]),
+                                ox, oy, off)[0]
+        if d < 1.0 - sag - 1e-9:
+            assert got, (px, py, d)
+        elif d > 1.0 + 1e-9:
+            assert not got, (px, py, d)
