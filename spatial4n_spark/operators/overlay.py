@@ -38,7 +38,9 @@ def overlay_intersection_join(left: DataFrame, right: DataFrame,
                               shape_kinds: tuple | None = None,
                               with_fracs: bool = False,
                               keep_zero: bool = False,
-                              area_col: str = "inter_area_deg2") -> DataFrame:
+                              area_col: str = "inter_area_deg2",
+                              with_geometry: bool = False,
+                              geometry_col: str = "inter_shape") -> DataFrame:
     """Overlay join of two shape layers with exact intersection areas.
 
     Output: every intersecting (left, right) pair with `area_col`
@@ -49,6 +51,15 @@ def overlay_intersection_join(left: DataFrame, right: DataFrame,
     each shape's own area, null when a side has zero area).
     `keep_zero` keeps boundary-touch pairs (area 0); default drops
     them, which is what area-weighted aggregation wants.
+
+    `with_geometry` (round 5) adds `geometry_col`: the intersection
+    GEOMETRY per pair as a shape struct (the GIS clip/identity
+    operator) — kernels/booleans member algebra for polygon pairs,
+    a pure Column rect struct when `shape_kinds=(2, 2)`. Computed
+    AFTER the area filter, so the geometry stage sees only true
+    intersecting pairs (bounded by output size, not candidates).
+    Honest contract: pairs with degenerate boundary contact carry an
+    error row in the geometry column while `area_col` stays exact.
 
     salt / broadcast_right pass through to the candidate join.
     """
@@ -101,6 +112,8 @@ def overlay_intersection_join(left: DataFrame, right: DataFrame,
                                   F.when(ra > 0.0, F.col(area_col) / ra)))
         if not keep_zero:
             out = out.where(F.col(area_col) > 0.0)
+        if with_geometry:
+            out = out.withColumn(geometry_col, _rect_inter_struct(ls, rs))
         return out
 
     if with_fracs:
@@ -133,7 +146,40 @@ def overlay_intersection_join(left: DataFrame, right: DataFrame,
             area_col, F.when(both_rect, rect_jvm).otherwise(arrow))
     if not keep_zero:
         out = out.where(F.col(area_col) > 0.0)
+    if with_geometry:
+        geom = SF.st_intersection(
+            ls["kind"], ls["minx"], ls["maxx"], ls["miny"], ls["maxy"],
+            ls["xs"], ls["ys"], ls["ring_offsets"],
+            rs["kind"], rs["minx"], rs["maxx"], rs["miny"], rs["maxy"],
+            rs["xs"], rs["ys"], rs["ring_offsets"])
+        # rect x rect rows take the pure-Column struct; note the CASE
+        # does not spare them the Arrow pass (Python UDFs evaluate in
+        # their own node) — it spares them the GH kernel and keeps the
+        # VALUES bit-identical to the JVM formula
+        out = out.withColumn(
+            geometry_col,
+            F.when((ls["kind"] == 2) & (rs["kind"] == 2),
+                   _rect_inter_struct(ls, rs)).otherwise(geom))
     return out
+
+
+def _rect_inter_struct(ls, rs):
+    """Intersection of two page-split (non-crossing) rects as a pure
+    Column shape struct — valid only under the area > 0 filter."""
+    def nul(t):
+        return F.lit(None).cast(t)
+    return F.struct(
+        F.lit(2).cast("byte").alias("kind"),
+        nul("double").alias("x"), nul("double").alias("y"),
+        nul("double").alias("radius"),
+        F.greatest(ls["minx"], rs["minx"]).alias("minx"),
+        F.least(ls["maxx"], rs["maxx"]).alias("maxx"),
+        F.greatest(ls["miny"], rs["miny"]).alias("miny"),
+        F.least(ls["maxy"], rs["maxy"]).alias("maxy"),
+        nul("array<double>").alias("xs"),
+        nul("array<double>").alias("ys"),
+        nul("array<int>").alias("ring_offsets"),
+        nul("string").alias("error"))
 
 
 def area_interpolate(source: DataFrame, target: DataFrame,

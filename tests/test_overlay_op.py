@@ -456,3 +456,70 @@ def test_st_union_geometry(spark):
                                   np.asarray(r["u"]["ys"]),
                                   r["u"]["ring_offsets"])
         assert got == pytest.approx(r["earea"], abs=1e-9), r
+
+
+def test_overlay_with_geometry(spark, layers):
+    """with_geometry (round 5): each intersecting pair carries its clip
+    geometry; area(geometry) matches the exact area column wherever
+    the geometry path is non-degenerate (degenerate contact -> honest
+    error row, area still exact)."""
+    from spatial4n_spark.kernels.overlay import polygon_area_evenodd
+    lrows, rrows = layers
+    left = _layer(spark, lrows, "l")
+    right = _layer(spark, rrows, "r")
+    out = overlay_intersection_join(left, right, precision=2,
+                                    with_geometry=True).collect()
+    assert len(out) >= 25
+    checked = errs = 0
+    for r in out:
+        g = r["inter_shape"]
+        if g["error"] is not None:
+            errs += 1
+            continue
+        if g["kind"] == 2:
+            area = ((g["maxx"] - g["minx"]) * (g["maxy"] - g["miny"]))
+        else:
+            area = polygon_area_evenodd(np.asarray(g["xs"]),
+                                        np.asarray(g["ys"]),
+                                        g["ring_offsets"])
+        assert area == pytest.approx(r["inter_area_deg2"],
+                                     rel=1e-9, abs=1e-9), (r["l_id"], r["r_id"])
+        checked += 1
+    assert checked > errs  # geometry succeeds for the bulk of pairs
+
+
+def test_overlay_with_geometry_rect_declared_jvm(spark):
+    """(2,2)-declared layers: the geometry column is a pure Column rect
+    struct — still no per-pair Python in the plan."""
+    lrects = [(0, 10.0, 30.0, 10.0, 25.0), (1, -50.0, -20.0, -40.0, -15.0)]
+    rrects = [(0, 20.0, 40.0, 15.0, 35.0), (1, -45.0, -30.0, -35.0, -20.0)]
+
+    def rect_layer(rows, col):
+        df = spark.createDataFrame(
+            rows, f"{col}_id int, minx double, maxx double,"
+                  " miny double, maxy double")
+        nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+        return df.select(f"{col}_id", F.struct(
+            F.lit(2).cast("byte").alias("kind"),
+            nul("double").alias("x"), nul("double").alias("y"),
+            nul("double").alias("radius"),
+            F.col("minx"), F.col("maxx"), F.col("miny"), F.col("maxy"),
+            nul("array<double>").alias("xs"), nul("array<double>").alias("ys"),
+            nul("array<int>").alias("ring_offsets"),
+            nul("string").alias("error")).alias(col + "shape"))
+    out = overlay_intersection_join(rect_layer(lrects, "l"),
+                                    rect_layer(rrects, "r"),
+                                    precision=2, shape_kinds=(2, 2),
+                                    with_geometry=True)
+    rows = out.collect()
+    assert len(rows) == 2
+    for r in rows:
+        g = r["inter_shape"]
+        assert g["kind"] == 2 and g["error"] is None
+        assert ((g["maxx"] - g["minx"]) * (g["maxy"] - g["miny"])
+                == pytest.approx(r["inter_area_deg2"], abs=1e-12))
+    p = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("MapInPandas", "BatchEvalPython"):
+        assert bad not in p
+    arrow_nodes = [ln for ln in p.splitlines() if "ArrowEvalPython" in ln]
+    assert all("cover_codes" in ln for ln in arrow_nodes), arrow_nodes
