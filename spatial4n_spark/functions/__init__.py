@@ -843,6 +843,9 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
         cx = x.to_numpy(dtype=np.float64, na_value=np.nan)
         cy = y.to_numpy(dtype=np.float64, na_value=np.nan)
         r = np.minimum(d, 180.0)
+        bad_r = pt & (r < 0.0)  # MakeCircle throws on negative radius
+        pt = pt & ~bad_r
+        err[bad_r] = "st_buffer: negative circle radius (InvalidShape)"
         bminx, bmaxx, bminy, bmaxy = geo_circle_bbox(cx, cy, r)
         for nm, v in (("x", cx), ("y", cy), ("radius", r), ("minx", bminx),
                       ("maxx", bmaxx), ("miny", bminy), ("maxy", bmaxy)):
@@ -853,6 +856,9 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
         cx = x.to_numpy(dtype=np.float64, na_value=np.nan)
         cy = y.to_numpy(dtype=np.float64, na_value=np.nan)
         r = np.minimum(radius.to_numpy(dtype=np.float64, na_value=np.nan) + d, 180.0)
+        bad_r = ci & (r < 0.0)  # MakeCircle throws on negative radius
+        ci = ci & ~bad_r
+        err[bad_r] = "st_buffer: negative circle radius (InvalidShape)"
         bminx, bmaxx, bminy, bmaxy = geo_circle_bbox(cx, cy, r)
         for nm, v in (("x", cx), ("y", cy), ("radius", r), ("minx", bminx),
                       ("maxx", bmaxx), ("miny", bminy), ("maxy", bmaxy)):
@@ -865,6 +871,9 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
             maxx.to_numpy(dtype=np.float64, na_value=np.nan),
             miny.to_numpy(dtype=np.float64, na_value=np.nan),
             maxy.to_numpy(dtype=np.float64, na_value=np.nan), d)
+        bad_y = rc & (bminy > bmaxy)  # MakeRectangle throws (shrink
+        rc = rc & ~bad_y              # past collapse, negative d)
+        err[bad_y] = "st_buffer: maxY must be >= minY (InvalidShape)"
         for nm, v in (("minx", bminx), ("maxx", bmaxx),
                       ("miny", bminy), ("maxy", bmaxy)):
             out[nm][rc] = v[rc]
@@ -910,15 +919,29 @@ def st_buffer(kind: pd.Series, x: pd.Series, y: pd.Series,
             except ValueError as e:
                 err[i] = f"st_buffer: {e}"
                 continue
-            out["minx"][i] = max(-180.0, vx.min() - d[i])
-            out["maxx"][i] = min(180.0, vx.max() + d[i])
-            out["miny"][i] = max(-90.0, vy.min() - d[i])
-            out["maxy"][i] = min(90.0, vy.max() + d[i])
+            if len(bx) == 0:
+                okind[i] = 0  # fully eroded -> EMPTY (NTS empty result)
+                continue
+            if d[i] >= 0.0:
+                # analytic: the buffer touches vertex bbox +- d exactly
+                out["minx"][i] = max(-180.0, vx.min() - d[i])
+                out["maxx"][i] = min(180.0, vx.max() + d[i])
+                out["miny"][i] = max(-90.0, vy.min() - d[i])
+                out["maxy"][i] = min(90.0, vy.max() + d[i])
+            else:
+                # erosion: extremes live on output vertices (offset
+                # segments; arcs are concave toward the region)
+                out["minx"][i] = bx.min()
+                out["maxx"][i] = bx.max()
+                out["miny"][i] = by.min()
+                out["maxy"][i] = by.max()
             oxs[i] = bx.tolist()
             oys[i] = by.tolist()
             oro[i] = list(boff)
             okind[i] = kk[i]
-    bad = ~(pt | ci | rc | ln | pg)
+    # original kind masks (pt/ci/rc exclude invalid-result rows that
+    # already carry their own error): unsupported = no known kind
+    bad = ~((k == 1) | (k == 3) | (k == 2) | ln | pg)
     if bad.any():
         err[bad] = "st_buffer: unsupported shape kind"
     cols = {"kind": okind}

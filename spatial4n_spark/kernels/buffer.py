@@ -219,7 +219,11 @@ def _erode_convex_ring(xs, ys, d):
 
 _GOLDEN_ANGLE = 2.399963229728653
 _PHASE_SEEDS = (0.437291, 1.113507, 1.771031, 2.531447)
-_D_NUDGES = (1.0, 1.0 + 3e-9, 1.0 + 7.3e-9)
+# the coarse rungs escape STRUCTURAL tangencies (d exactly matching a
+# parallel-edge distance lands offset sides within union._BOUNDARY_EPS
+# = 1e-6 of the opposite boundary, where the fine rungs can't move
+# them out); 2e-6 relative is still ~2500x below the arc sagitta
+_D_NUDGES = (1.0, 1.0 + 3e-9, 1.0 + 7.3e-9, 1.0 + 2.1e-6, 1.0 - 1.7e-6)
 
 
 def _clean_ring(rx, ry):
@@ -306,10 +310,18 @@ def _classify_strip_ring(ring, strip, in_rings, d):
     return None
 
 
-def _buffer_exact(rings, d, arc_step):
-    """Exact strip-union buffer of an even-odd ring set. Returns a
-    ring list or None when every ladder attempt hits degenerate
-    contact. `arc_step` only tightens the per-vertex disc count."""
+def _buffer_exact(rings, d, arc_step, erode: bool = False):
+    """Exact strip-union buffer (or EROSION, `erode=True`) of an
+    even-odd ring set. Returns a ring list ([] = fully eroded) or None
+    when every ladder attempt hits degenerate contact. The two modes
+    share everything except the side a strip ring must bound:
+
+      buffer  P ⊕ D = P ∪ strip: keep rings whose strip-empty side is
+              OUTSIDE the input region (interior seams P fills drop);
+      erosion P ⊖ D = P \\ strip: keep rings whose strip-empty side is
+              INSIDE the input region (NTS Buffer(negative) parity —
+              holes grow, thin necks sever, thin shells vanish).
+    """
     from .union import union_many
     segs = max(8, int(np.ceil(2.0 * np.pi / arc_step)))
     vbase = 0
@@ -339,9 +351,9 @@ def _buffer_exact(rings, d, arc_step):
                 if cls is None:
                     ok = False
                     break
-                if cls:
+                if cls != erode:  # buffer: outside-P; erosion: inside-P
                     kept.append(ring)
-            if ok and kept:
+            if ok and (kept or erode):
                 return kept
     return None
 
@@ -352,15 +364,18 @@ def buffer_polygon(xs, ys, ring_offsets, d, arc_step=ARC_STEP):
     Exact (within the inscribed-arc contract) for convex rings via
     direct Minkowski offset/erode, and for CONCAVE / HOLED / MULTIPART
     inputs via the strip-union path (see the round-5 block above).
-    Returns (oxs, oys, oring_offsets, approx); approx is True only when
-    the strip union could not planarize the input (spikes,
-    self-touching rings) and the hull-superset fallback fired.
-    Raises ValueError on d < 0 or a degenerate ring.
+    NEGATIVE d is EROSION (NTS ``geom.Buffer(negative)`` parity,
+    NtsGeometry.cs:175-180): holes grow, thin necks sever, fully-eroded
+    regions come back EMPTY (zero rings). Returns
+    (oxs, oys, oring_offsets, approx); approx is True only when the
+    strip union could not planarize a positive-buffer input (spikes,
+    self-touching rings) and the hull-superset fallback fired — the
+    erosion path has no fallback and raises instead.
+    Raises ValueError on a degenerate ring or an unplanarizable
+    erosion input.
     """
     from .pip import points_in_ring
 
-    if d < 0.0:
-        raise ValueError("buffer_polygon: negative distance")
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     if ring_offsets is None or len(ring_offsets) < 2:
@@ -378,6 +393,30 @@ def buffer_polygon(xs, ys, ring_offsets, d, arc_step=ARC_STEP):
             off.append(off[-1] + len(rx))
         return (np.concatenate([r[0] for r in rings]),
                 np.concatenate([r[1] for r in rings]),
+                off, False)
+
+    if d < 0.0:
+        ad = -d
+        # convex single-shell fast path: exact half-plane erosion
+        if len(rings) == 1 and _is_convex_ccw(*rings[0]):
+            er = _erode_convex_ring(rings[0][0], rings[0][1], ad)
+            out_rings = [er] if er is not None else []
+        else:
+            cleaned = [_clean_ring(rx, ry) for rx, ry in rings]
+            if any(c is None for c in cleaned):
+                raise ValueError("buffer_polygon: degenerate ring")
+            out_rings = _buffer_exact(cleaned, ad, arc_step, erode=True)
+            if out_rings is None:
+                raise ValueError(
+                    "buffer_polygon: erosion infeasible (degenerate "
+                    "boundary strip)")
+        if not out_rings:
+            return (np.empty(0), np.empty(0), [0], False)  # fully eroded
+        off = [0]
+        for rx, ry in out_rings:
+            off.append(off[-1] + len(rx))
+        return (np.concatenate([r[0] for r in out_rings]),
+                np.concatenate([r[1] for r in out_rings]),
                 off, False)
 
     # even-odd nesting depth of each ring's first vertex vs the others

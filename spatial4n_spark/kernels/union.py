@@ -558,6 +558,25 @@ def union_many(rings):
             if degen:
                 return None
             if overlap:
+                # pocket shield (r5): "overlap" with no boundary
+                # crossings is pure ring containment — but a blob
+                # sitting inside one of the accumulated POCKET holes is
+                # REGION-disjoint from the primary (the pocket is not
+                # part of the union region) and must stay a separate
+                # primary, not be absorbed into the enclosing ring.
+                # (Erosion strips hit this: a hole's grown blob lives
+                # inside the shell strip's pocket.)
+                axo, ayo = _open_ccw(rx, ry)
+                bxo, byo = _open_ccw(ox, oy)
+                cr, _, _ = _edge_crossings(axo, ayo, bxo, byo)  # memoized
+                if not cr:
+                    if _point_in_ring_strict(axo[0], ayo[0], bxo, byo):
+                        inx, iny = axo, ayo
+                    else:
+                        inx, iny = bxo, byo
+                    if any(_point_in_ring_strict(inx[0], iny[0], hx, hy)
+                           for hx, hy in holes):
+                        continue
                 u = union_rings(rx, ry, ox, oy)
                 if u is None:
                     return None

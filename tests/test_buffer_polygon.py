@@ -183,12 +183,11 @@ def test_overlapping_buffered_shells_merge_exactly():
                                  ox, oy, off)[0]
 
 
-def test_zero_and_negative_distance():
+def test_zero_distance_and_degenerate_ring():
     xs, ys = SQUARE
     ox, oy, off, approx = buffer_polygon(xs, ys, [0, 4], 0.0)
     assert np.array_equal(ox, xs) and np.array_equal(oy, ys)
-    with pytest.raises(ValueError):
-        buffer_polygon(xs, ys, [0, 4], -1.0)
+    # d < 0 is EROSION since r5 (see test_negative_buffer_erosion)
     with pytest.raises(ValueError):
         buffer_polygon(np.array([0.0, 1.0]), np.array([0.0, 1.0]),
                        [0, 2], 1.0)
@@ -291,3 +290,83 @@ def test_jagged_400_vertex_ring_exact_and_fast():
             assert got, (px, py, d)
         elif d > 1.0 + 1e-9:
             assert not got, (px, py, d)
+
+
+def _erosion_probe_battery(xs, ys, offs, d, lo, hi, n=500, seed=5):
+    """Negative-buffer (erosion) brute force: kept points are those of
+    P deeper than d from its boundary; inscribed strip arcs can only
+    over-keep by the sagitta."""
+    ox, oy, off, approx = buffer_polygon(xs, ys, offs, -d)
+    assert not approx
+    sag = d * (1.0 - np.cos(ARC_STEP / 2.0))
+    rng = np.random.default_rng(seed)
+    for _ in range(n):
+        px, py = rng.uniform(lo, hi), rng.uniform(lo, hi)
+        inp = points_in_polygon(np.array([px]), np.array([py]),
+                                xs, ys, offs)[0]
+        dist = min(_dist_to_segments(px, py, xs[offs[k]:offs[k + 1]],
+                                     ys[offs[k]:offs[k + 1]])
+                   for k in range(len(offs) - 1))
+        got = len(ox) > 0 and points_in_polygon(
+            np.array([px]), np.array([py]), ox, oy, off)[0]
+        if inp and dist > d + 1e-9:
+            assert got, (px, py, dist)
+        if (not inp) or dist < d - sag - 1e-9:
+            assert not got, (px, py, dist)
+    return ox, oy, off
+
+
+def test_negative_buffer_erosion():
+    """d < 0 is EROSION (NTS geom.Buffer(negative) parity): shells
+    shrink, holes GROW, thin necks sever, small shapes vanish."""
+    sq = (np.array([0.0, 10, 10, 0]), np.array([0.0, 0, 10, 10]))
+    ox, oy, off = _erosion_probe_battery(sq[0], sq[1], [0, 4], 2.0,
+                                         -2.0, 12.0)
+    assert len(off) - 1 == 1
+    # fully eroded -> EMPTY (zero rings)
+    ox2, oy2, off2, approx2 = buffer_polygon(sq[0], sq[1], [0, 4], -6.0)
+    assert len(off2) - 1 == 0 and not approx2
+    # concave L
+    L = (np.array([0.0, 10, 10, 6, 6, 0]), np.array([0.0, 0, 4, 4, 10, 10]))
+    _erosion_probe_battery(L[0], L[1], [0, 6], 1.0, -2.0, 12.0)
+    # holed square: shell shrinks AND the hole grows -> 2 rings
+    xs = np.concatenate([sq[0], np.array([4.0, 6, 6, 4])])
+    ys = np.concatenate([sq[1], np.array([4.0, 4, 6, 6])])
+    _, _, offh = _erosion_probe_battery(xs, ys, [0, 4, 8], 1.0, -2.0, 12.0)
+    assert len(offh) - 1 == 2
+    # dumbbell: 1.2-halfwidth neck severs at d=1 -> two components
+    xs3 = np.array([0.0, 8, 8, 12, 12, 20, 20, 12, 12, 8, 8, 0])
+    ys3 = np.array([0.0, 0, 4.4, 4.4, 0, 0, 10, 10, 5.6, 5.6, 10, 10])
+    _, _, offd = _erosion_probe_battery(xs3, ys3, [0, 12], 1.0, -2.0, 22.0)
+    assert len(offd) - 1 == 2
+
+
+def test_st_buffer_negative_distances(spark):
+    """UDF surface for d < 0: polygon erosion (exact bbox from the
+    output ring), fully-eroded -> EMPTY kind 0, and reference
+    InvalidShapeException parity as error rows for point/circle
+    negative radius and rect y-collapse."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark import functions as SF
+    rows = [("POLYGON((0 0, 10 0, 10 4, 6 4, 6 10, 0 10, 0 0))", -1.0),
+            ("POLYGON((0 0, 10 0, 10 4, 6 4, 6 10, 0 10, 0 0))", -6.0),
+            ("POINT(10 20)", -1.0),
+            ("BUFFER(POINT(10 20), 3)", -5.0),
+            ("ENVELOPE(0, 10, 4, 0)", -3.0)]
+    df = spark.createDataFrame(rows, "wkt string, d double")
+    s = SF.st_from_wkt(F.col("wkt"))
+    df = df.select("d", s.alias("s"))
+    sc = F.col("s")
+    b = SF.st_buffer(sc["kind"], sc["x"], sc["y"], sc["radius"],
+                     sc["minx"], sc["maxx"], sc["miny"], sc["maxy"],
+                     sc["xs"], sc["ys"], sc["ring_offsets"], F.col("d"))
+    got = df.withColumn("b", b).select("b").collect()
+    poly, gone, pt_neg, ci_neg, rc_neg = [r["b"] for r in got]
+    assert poly["kind"] == 7 and poly["error"] is None
+    assert (poly["minx"], poly["maxx"], poly["miny"], poly["maxy"]) == \
+        pytest.approx((1.0, 9.0, 1.0, 9.0), abs=1e-12)
+    assert gone["kind"] == 0 and gone["error"] is None  # fully eroded
+    assert pt_neg["error"] and "negative circle radius" in pt_neg["error"]
+    assert ci_neg["error"] and "negative circle radius" in ci_neg["error"]
+    assert rc_neg["error"] and "maxY" in rc_neg["error"]
