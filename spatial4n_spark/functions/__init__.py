@@ -1308,7 +1308,11 @@ def _boolean_geometry_frame(op, a_cols, b_cols) -> pd.DataFrame:
 def _evenodd_rings(kind, minx, maxx, miny, maxy, xs, ys, ro):
     """Even-odd ring list [(xs, ys), ...] from a shape struct, or
     ValueError for kinds without polygonal geometry. Dateline-crossing
-    rects page-split into two rings (the WKT parser's convention)."""
+    rects page-split into two rings (the WKT parser's convention);
+    EMPTY (kind 0) is the empty ring set — the boolean member algebra
+    then gives NTS parity for free (A ∩ ∅ = ∅, A \\ ∅ = A ∪ ∅ = A)."""
+    if kind == 0:
+        return []
     if kind == 2:
         pages = ([((minx, 180.0), (miny, maxy)),
                   ((-180.0, maxx), (miny, maxy))]

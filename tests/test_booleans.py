@@ -296,3 +296,44 @@ def test_sym_difference_evenodd_randomized_parity():
         got = polygon_area_evenodd(*_pack(flat)) if flat else 0.0
         assert got == pytest.approx(want_area, rel=1e-9, abs=1e-9)
     assert pairs > 55 and checked > 800
+
+
+def test_empty_operand_member_algebra():
+    """Empty ring sets flow through the member algebra with NTS
+    parity: A ∩ ∅ = ∅, A \\ ∅ = A, ∅ \\ A = ∅, A ∪ ∅ = A."""
+    from spatial4n_spark.kernels.booleans import (difference_evenodd,
+                                                  union_evenodd)
+    A = [(np.array([0.0, 4, 4, 0]), np.array([0.0, 0, 4, 4]))]
+    assert intersect_evenodd(A, []) == []
+    assert intersect_evenodd([], A) == []
+    d = difference_evenodd(A, [])
+    assert len(d) == 1 and _parity(2, 2, [d[0][0]]) == 1
+    assert difference_evenodd([], A) == []
+    u = union_evenodd(A, [])
+    assert len(u) == 1
+    u2 = union_evenodd([], A)
+    assert len(u2) == 1
+
+
+def test_adversarial_snapped_soak():
+    """Integer-snapped (degenerate-contact-heavy) random inputs: every
+    boolean op either returns a member list or None — never an
+    uncaught exception (the honest-error contract's crash guard)."""
+    from spatial4n_spark.kernels.booleans import (difference_evenodd,
+                                                  sym_difference_evenodd,
+                                                  union_evenodd)
+    rng = np.random.default_rng(777)
+    outcomes = {"ok": 0, "none": 0}
+    ops = (intersect_evenodd, difference_evenodd, union_evenodd,
+           sym_difference_evenodd)
+    for trial in range(200):
+        n1, n2 = int(rng.integers(3, 12)), int(rng.integers(3, 12))
+        ax, ay = _rand_ring(rng, 0, 0, n1, 1, 6)
+        bx, by = _rand_ring(rng, rng.uniform(-5, 5), rng.uniform(-5, 5),
+                            n2, 1, 6)
+        if trial % 2 == 0:  # snap -> shared vertices/collinear edges
+            ax, ay = np.round(ax), np.round(ay)
+            bx, by = np.round(bx), np.round(by)
+        r = ops[trial % 4]([(ax, ay)], [(bx, by)])
+        outcomes["none" if r is None else "ok"] += 1
+    assert outcomes["ok"] > 80  # snapped inputs may bail, most succeed
