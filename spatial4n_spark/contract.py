@@ -3207,7 +3207,7 @@ bgf AS (
           + (13.7 - 4.15) * (6.45 - 1.05)
           - ((10.0 + j - 4.15) * (6.45 - 1.05)
              - (5.3 - 4.15) * (5.2 - 3.1)), 6) AS ug_area,
-    CAST(4 AS INT) AS ug_rings
+    CAST(2 AS INT) AS ug_rings
   FROM bgb
 )
 SELECT ext.c_nationkey, ext.minx, ext.maxx, ext.miny, ext.maxy,

@@ -1209,7 +1209,8 @@ def st_intersection(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
     return _boolean_geometry_frame(
         intersect_evenodd,
         (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
-        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro),
+        robust_op="and")
 
 
 @pandas_udf(SHAPE_SCHEMA)
@@ -1228,7 +1229,8 @@ def st_difference(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
     return _boolean_geometry_frame(
         difference_evenodd,
         (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
-        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro),
+        robust_op="sub")
 
 
 @pandas_udf(SHAPE_SCHEMA)
@@ -1249,7 +1251,8 @@ def st_union(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
     return _boolean_geometry_frame(
         union_evenodd,
         (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
-        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro),
+        robust_op="or", robust_first=True)
 
 
 @pandas_udf(SHAPE_SCHEMA)
@@ -1267,13 +1270,38 @@ def st_sym_difference(akind: pd.Series, aminx: pd.Series, amaxx: pd.Series,
     return _boolean_geometry_frame(
         sym_difference_evenodd,
         (akind, aminx, amaxx, aminy, amaxy, axs, ays, aro),
-        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro))
+        (bkind, bminx, bmaxx, bminy, bmaxy, bxs, bys, bro),
+        robust_op="xor", robust_first=True)
 
 
-def _boolean_geometry_frame(op, a_cols, b_cols) -> pd.DataFrame:
+def _boolean_geometry_frame(op, a_cols, b_cols, robust_op=None,
+                            robust_first=False) -> pd.DataFrame:
     """Shared per-row driver for the boolean geometry UDFs: shape
-    structs -> even-odd rings -> member op -> closed-ring struct."""
+    structs -> even-odd rings -> member op -> closed-ring struct.
+
+    `robust_op` names the boundary-selection overlay op (round 5,
+    kernels/booleans.robust_boolean) used when the GH member algebra
+    hits degenerate boundary contact — shared vertices and collinear
+    overlapping edges (adjacent parcels!) now produce geometry instead
+    of error rows. `robust_first=True` makes it the PRIMARY path
+    (union / symmetric difference: the member-algebra composition
+    leaves seam arcs, the boundary selection is canonical), with the
+    member algebra as ITS fallback."""
+    from ..kernels.booleans import members_of_robust, robust_boolean
     akind = a_cols[0]
+
+    def _run(rings_a, rings_b):
+        def gh():
+            return op(rings_a, rings_b)
+
+        def robust():
+            if robust_op is None:
+                return None
+            r = robust_boolean(rings_a, rings_b, robust_op)
+            return None if r is None else members_of_robust(r)
+        first, second = (robust, gh) if robust_first else (gh, robust)
+        m = first()
+        return m if m is not None else second()
     rows = []
     for i in range(len(akind)):
         try:
@@ -1282,7 +1310,7 @@ def _boolean_geometry_frame(op, a_cols, b_cols) -> pd.DataFrame:
         except ValueError as e:
             rows.append(dict(_EMPTY_ROW, error=str(e)))
             continue
-        members = op(rings_a, rings_b)
+        members = _run(rings_a, rings_b)
         if members is None:
             rows.append(dict(_EMPTY_ROW,
                              error="degenerate boundary contact"))

