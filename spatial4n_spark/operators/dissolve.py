@@ -61,18 +61,22 @@ def _member_record(kind, minx, maxx, miny, maxy, xs, ys, ro):
 
 def _dissolve_group(members: list, allow_approx: bool) -> dict:
     from ..kernels.wkt import WktParseError, _resolve_multi_overlap
+    # r5 PRIMARY: the boundary-selection union fold — exact for every
+    # contact class including the degenerate ones (adjacent parcels
+    # sharing edges, vertex-on-edge touch), and CANONICAL: touching
+    # members come out with the shared seams dissolved away, which is
+    # what a GIS dissolve means (the GH resolver keeps touch-only
+    # members as separate rings — reference ShapeCollection semantics,
+    # right for the parser, wrong for dissolve output)
+    if len(members) > 1:
+        rec = _robust_union_fold(members)
+        if rec is not None:
+            return {"rec": rec, "exact": True, "error": None}
     try:
         merged = _resolve_multi_overlap(members, True, "width180",
                                         "error", False)
         return {"rec": merged, "exact": True, "error": None}
     except WktParseError as e:
-        # degenerate boundary contact (adjacent parcels sharing edges,
-        # vertex-on-edge touch): the r5 boundary-selection overlay
-        # settles what the GH resolver cannot — an EXACT union fold
-        # with canonical boundaries, before any hull degrade
-        rec = _robust_union_fold(members)
-        if rec is not None:
-            return {"rec": rec, "exact": True, "error": None}
         if not allow_approx:
             return {"rec": None, "exact": False, "error": str(e)[:200]}
     merged = _resolve_multi_overlap(members, True, "width180",

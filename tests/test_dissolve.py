@@ -111,10 +111,9 @@ def test_dissolve_pure_edge_adjacency_exact(spark):
     got = polygon_area_evenodd(np.asarray(s["xs"]), np.asarray(s["ys"]),
                                s["ring_offsets"])
     assert got == pytest.approx(8.0)
-    # the exact resolver keeps touch-only members as separate rings
-    # (reference ShapeCollection semantics, parity-correct); the
-    # robust fold only engages when the resolver ERRORS
-    assert len(s["ring_offsets"]) - 1 in (1, 2)
+    # r5: the robust fold is dissolve's primary path — the shared
+    # seam is dissolved away into one canonical ring
+    assert len(s["ring_offsets"]) - 1 == 1
 
 
 def test_dissolve_unsupported_kind(spark):
@@ -204,3 +203,38 @@ def test_two_level_n_members_counts_original_rows(spark):
     two = dissolve_two_level(_df(spark, rows), ["owner"],
                              precision=2).collect()[0]
     assert one["n_members"] == 12 and two["n_members"] == 12
+
+
+def test_dissolve_parcel_grid_exact(spark):
+    """THE adjacent-parcel case at small scale: a 3x3 grid of unit
+    squares sharing edges dissolves into ONE exact square; the same
+    grid missing its center dissolves into a square WITH A HOLE —
+    both through the r5 robust-union fold (every pairwise contact is
+    degenerate collinear sharing)."""
+    def cell(i, j):
+        return (f"POLYGON(({i} {j}, {i+1} {j}, {i+1} {j+1}, "
+                f"{i} {j+1}, {i} {j}))")
+    full = [("full", cell(i, j)) for i in range(3) for j in range(3)]
+    ring = [("ring", cell(i, j)) for i in range(3) for j in range(3)
+            if not (i == 1 and j == 1)]
+    out = {r["owner"]: r for r in
+           dissolve(_df(spark, full + ring), ["owner"]).collect()}
+    f = out["full"]
+    assert f["error"] is None and f["exact"] is True
+    sf = f["shape"]
+    a = polygon_area_evenodd(np.asarray(sf["xs"]), np.asarray(sf["ys"]),
+                             sf["ring_offsets"])
+    assert a == pytest.approx(9.0)
+    assert len(sf["ring_offsets"]) - 1 == 1  # one clean ring, no seams
+    r = out["ring"]
+    assert r["error"] is None and r["exact"] is True
+    sr = r["shape"]
+    a = polygon_area_evenodd(np.asarray(sr["xs"]), np.asarray(sr["ys"]),
+                             sr["ring_offsets"])
+    assert a == pytest.approx(8.0)
+    assert len(sr["ring_offsets"]) - 1 == 2  # shell + the missing-cell hole
+    from spatial4n_spark.kernels.pip import points_in_polygon
+    inp = points_in_polygon(np.array([1.5, 0.5]), np.array([1.5, 0.5]),
+                            np.asarray(sr["xs"]), np.asarray(sr["ys"]),
+                            sr["ring_offsets"])
+    assert not inp[0] and inp[1]  # center hole out, corner in
